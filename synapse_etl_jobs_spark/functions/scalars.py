@@ -1,0 +1,123 @@
+"""Native-expression ports of the reference's scalar utilities.
+
+Each function returns a Column built purely from ``pyspark.sql.functions``
+so it stays inside whole-stage codegen (no Python in the hot path).
+
+Reference parity (cited file:line are in /root/reference):
+
+- ``syn_id_string_to_int``    ← src/scripts/glue_jobs/utils.py:5-17
+- ``ms_to_partition_date``    ← src/scripts/glue_jobs/utils.py:19-21
+- ``remove_padded_leading_zeros`` ← src/scripts/glue_jobs/utils.py:23-27
+- ``iso8601_to_millis`` / ``millis_to_timestamp``
+                              ← src/scripts/backfill_jobs/backfill_node_snapshots.py:81-90
+- ``year_month_day``          ← src/scripts/backfill_jobs/backfill_node_snapshots.py:101-107
+- ``filename_to_date``        ← src/scripts/backfill_jobs/backfill_utils.py:4-8
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = "Column | str"
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def syn_id_string_to_int(c) -> Column:
+    """Parse ``syn123`` / ``123`` / ``syn123.4`` → 123L; garbage/None → null.
+
+    Semantics pinned by reference tests (tests/test_utils.py:7-37):
+    leading/trailing whitespace is stripped; empty/blank → null; values up
+    to Long.MAX_VALUE parse exactly.
+    """
+    trimmed = F.trim(_col(c))
+    digits = F.regexp_extract(trimmed, r"^(?:syn)?(\d+)(?:\.\d+)?$", 1)
+    return F.when(digits != "", digits.cast("long")).otherwise(F.lit(None).cast("long"))
+
+
+def ms_to_partition_date(c) -> Column:
+    """Epoch milliseconds → UTC ``yyyy-MM-dd`` string (partition date).
+
+    Requires ``spark.sql.session.timeZone=UTC`` (set by session factory).
+    """
+    return F.date_format(F.timestamp_millis(_col(c).cast("long")), "yyyy-MM-dd")
+
+
+def remove_padded_leading_zeros(c) -> Column:
+    """``"000236" → "236"`` (lstrip('0'); all-zero input → empty string)."""
+    return F.regexp_replace(_col(c), "^0+", "")
+
+
+def millis_to_timestamp(c) -> Column:
+    """Epoch ms (bigint) → timestamp. The P1 apply-mapping bigint→timestamp cast."""
+    return F.timestamp_millis(_col(c).cast("long"))
+
+
+def timestamp_to_millis(c) -> Column:
+    """Timestamp → epoch ms (bigint)."""
+    return F.unix_millis(_col(c))
+
+
+def iso8601_to_millis(c) -> Column:
+    """ISO-8601 string → epoch ms (reference: ``parser.parse(s).timestamp()*1000``)."""
+    return F.unix_millis(F.to_timestamp(_col(c)))
+
+
+def year_month_day(c) -> tuple[Column, Column, Column]:
+    """Date/timestamp column → (year, zero-padded month, zero-padded day) strings.
+
+    Mirrors the reference's backfill partition layout (year/month/day with
+    ``'%02d'`` padding).
+    """
+    col = _col(c)
+    return (
+        F.year(col).cast("string").alias("year"),
+        F.lpad(F.month(col).cast("string"), 2, "0").alias("month"),
+        F.lpad(F.dayofmonth(col).cast("string"), 2, "0").alias("day"),
+    )
+
+
+def filename_to_date(c=None) -> Column:
+    """Extract ``yyyy-MM-dd`` from the second-to-last path segment of a file path.
+
+    Defaults to the scan's provenance column (``input_file_name``), giving
+    per-file lineage the same way the reference derives partition dates from
+    S3 key layout.
+    """
+    col = F.input_file_name() if c is None else _col(c)
+    return F.to_date(F.regexp_extract(col, r"/([0-9]{4}-[0-9]{2}-[0-9]{2})/[^/]*$", 1))
+
+
+def change_type_from_timestamps(created_ms, changed_ms, threshold_ms: int = 1000) -> Column:
+    """Derive CDC op-type when the source lacks one: a change more than
+    ``threshold_ms`` after creation is an UPDATE, else a CREATE.
+
+    Reference: backfill_node_snapshots.py:83-87 (>= 1 s ⇒ UPDATE) and
+    backfill_acl_snapshots_athena.sql:74 (date_diff > 1000 ms ⇒ UPDATE).
+    """
+    return F.when(
+        (_col(changed_ms).cast("long") - _col(created_ms).cast("long")) > threshold_ms,
+        F.lit("UPDATE"),
+    ).otherwise(F.lit("CREATE"))
+
+
+def first_element(c) -> Column:
+    """Null-safe first element of an array (reference: first email,
+    user_profile_snapshots.py:35-40 — empty list or null → null)."""
+    col = _col(c)
+    return F.when(F.size(col) > 0, F.element_at(col, 1))
+
+
+def url_decode_strip_ws(c) -> Column:
+    """Percent-decode a URL then remove ALL whitespace.
+
+    Native analog of process_access_record.py:95-100 (``urllib.parse.unquote``
+    then ``"".join(s.split())``). Spark's ``url_decode`` raises on malformed
+    escapes where Python's unquote is lenient — the pandas-UDF variant in
+    ``access_record.py`` is the semantics-pinned one; this native version is
+    for well-formed inputs on the hot path.
+    """
+    return F.regexp_replace(F.url_decode(_col(c)), r"\s", "")

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's required session settings.
+
+The reference runs on AWS Glue (Spark 3.1) with implicit session config;
+here we pin everything the engine's semantics depend on:
+
+- UTC session timezone (the reference's ``utils.py:19-21`` converts epoch
+  millis with ``datetime.utcfromtimestamp`` — all date derivations are UTC),
+- Arrow execution for pandas UDFs (the vectorization axis),
+- AQE with coalescing + skew-join handling (scale axis),
+- a shuffle-partition default sized for local[32]; override via env or
+  argument for cluster runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "synapse-etl-jobs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is supplied — on a real cluster, pass
+    ``master=None`` and set the master via spark-submit instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parquet scans: large splits keep task overhead low at 100 TB
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # driver UI off for CI/bench determinism + startup speed
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

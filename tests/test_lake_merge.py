@@ -1,0 +1,160 @@
+"""End-to-end CDC tests: synthesize a change stream, replay it through
+LakeTable.merge, and compare the final table state (row set + per-row
+sha256(content)) against a brute-force pandas oracle — SURVEY.md §5 test 2,
+the north rule's correctness invariant."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+from synapse_etl_jobs_spark.sources.synth import flatten_events, synth_change_events
+
+SCHEMA = StructType().add("repo", "string").add("path", "string") \
+    .add("commit", "string").add("lang", "string").add("content", "string")
+KEYS = ["repo", "path", "commit"]
+
+
+def pandas_oracle(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Brute-force LWW reduction: per key keep the max-seq event; drop keys
+    whose winner is a DELETE."""
+    idx = events_pdf.groupby(["repo", "path", "commit"])["seq"].idxmax()
+    final = events_pdf.loc[idx]
+    final = final[final["op"] != "DELETE"]
+    out = final[["repo", "path", "commit", "lang", "content"]].reset_index(drop=True)
+    out["content_sha"] = out["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    return out.sort_values(KEYS).reset_index(drop=True)
+
+
+def table_state(table: LakeTable) -> pd.DataFrame:
+    df = table.read().withColumn("content_sha", F.sha2(F.col("content"), 256))
+    pdf = df.toPandas()
+    return pdf.sort_values(KEYS).reset_index(drop=True)[
+        ["repo", "path", "commit", "lang", "content", "content_sha"]
+    ]
+
+
+def assert_states_equal(actual: pd.DataFrame, expected: pd.DataFrame):
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    pd.testing.assert_frame_equal(actual, expected, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ev = flatten_events(synth_change_events(spark, 4000, seed=7, n_keys=800))
+    ev.persist()
+    yield ev
+    ev.unpersist()
+
+
+def test_merge_single_batch(spark, events, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    stats = t.merge(events, batch_id=0)
+    assert stats["applied"]
+    assert_states_equal(table_state(t), pandas_oracle(events.toPandas()))
+
+
+def test_merge_multi_batch_replay(spark, events, tmp_table_path):
+    """Replay in 4 seq-ordered batches → same final state as one batch."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    for i in range(4):
+        batch = events.filter(
+            (F.col("seq") >= i * 1000) & (F.col("seq") < (i + 1) * 1000)
+        )
+        t.merge(batch, batch_id=i)
+    assert_states_equal(table_state(t), pandas_oracle(events.toPandas()))
+
+
+def test_merge_idempotent_re_merge(spark, events, tmp_table_path):
+    """Re-merging an already-applied batch (even WITHOUT the marker) is a
+    no-op on table state — LWW on stored _seq wins over replayed events."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    t.merge(events, batch_id=0)
+    before = table_state(t)
+    # marker path: same batch_id → short-circuit
+    stats = t.merge(events, batch_id=0)
+    assert not stats["applied"]
+    # no-marker path: replay a stale suffix with a fresh batch_id
+    stale = events.filter(F.col("seq") < 2000)
+    stats2 = t.merge(stale, batch_id=99)
+    assert stats2["applied"]
+    assert_states_equal(table_state(t), before)
+
+
+def test_merge_out_of_order_batches(spark, events, tmp_table_path):
+    """Batches applied out of seq order reconverge to the same state."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    for i in [2, 0, 3, 1]:
+        batch = events.filter(
+            (F.col("seq") >= i * 1000) & (F.col("seq") < (i + 1) * 1000)
+        )
+        t.merge(batch, batch_id=i)
+    assert_states_equal(table_state(t), pandas_oracle(events.toPandas()))
+
+
+def test_salted_merge_same_result(spark, events, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    t.merge(events, batch_id=0, salt_buckets=8)
+    assert_states_equal(table_state(t), pandas_oracle(events.toPandas()))
+
+
+def test_delete_semantics(spark, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=4)
+    rows = [
+        ("INSERT", 1, "r1", "a.py", "c1", "python", "v1"),
+        ("UPDATE", 2, "r1", "a.py", "c1", "python", "v2"),
+        ("DELETE", 3, "r1", "a.py", "c1", None, None),
+        ("INSERT", 4, "r1", "b.py", "c2", "python", "x1"),
+        ("DELETE", 5, "r9", "ghost.py", "c9", None, None),  # delete of absent key
+    ]
+    updates = spark.createDataFrame(
+        rows, "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    t.merge(updates, batch_id=0)
+    state = t.read().collect()
+    assert len(state) == 1
+    assert state[0]["path"] == "b.py" and state[0]["content"] == "x1"
+    # late-arriving stale update for the deleted key must stay dead
+    late = spark.createDataFrame(
+        [("UPDATE", 2, "r1", "a.py", "c1", "python", "v2-late")],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    t.merge(late, batch_id=1)
+    assert t.read().count() == 1
+
+
+def test_lineage_rows(spark, events, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    t.merge(events, batch_id=0, stream_id="s1")
+    lin = t.lineage().toPandas()
+    assert (lin["stream_id"] == "s1").all()
+    # lineage counts stored rows, which include tombstones
+    assert lin["rows"].sum() == t.read(include_internal=True).count()
+    assert lin["seq_max"].max() >= 3999
+
+
+def test_bucket_pruned_scan(spark, events, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    t.merge(events, batch_id=0)
+    full = table_state(t)
+    one_repo = full[full["repo"] == full["repo"].iloc[0]]
+    got = t.scan_keys([(one_repo["repo"].iloc[0],)]).filter(
+        F.col("repo") == one_repo["repo"].iloc[0]
+    )
+    assert got.count() == len(one_repo)
+
+
+def test_time_travel(spark, events, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
+    t.merge(events.filter(F.col("seq") < 2000), batch_id=0)
+    v1_count = t.read().count()
+    t.merge(events.filter(F.col("seq") >= 2000), batch_id=1)
+    old = LakeTable.load(spark, tmp_table_path, version=1)
+    assert old.read().count() == v1_count
