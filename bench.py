@@ -1,0 +1,146 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the north rule's: sustained CDC upsert throughput
+(events/sec) replaying a synthetic change stream through the full engine
+path (synthesize → LWW dedup → bucketed MERGE with tombstones → commit).
+Per-query wall times for the operator suite ride along in "queries".
+
+Extras (not required by the driver contract, reported for BENCH docs):
+- "cdc_events_per_sec": headline throughput
+- pass --scaling to ALSO run the replay at local[8] and local[32] in
+  subprocesses and report scaling efficiency (the N vs 4N proxy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+
+BENCH_QUERIES = [
+    "cdc_final_state",
+    "cdc_final_state_salted",
+    "apply_mapping",
+    "pricing_summary",
+    "top_customers",
+    "broadcast_dim_join",
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_bruteforce",
+    "media_plumbing",
+]
+
+
+def run_cdc_replay(spark, n_events: int, n_batches: int, mode: str = "mor") -> dict:
+    """Full-path CDC replay benchmark; returns throughput stats.
+
+    ``mode='mor'`` (merge-on-read) is the sustained-ingest headline: merge
+    cost stays O(batch) as the table grows. ``mode='cow'`` measures the
+    read-optimized path (rewrites affected buckets per batch).
+    """
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.sources.synth import flatten_events, synth_change_events
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    schema = (
+        StructType().add("repo", "string").add("path", "string")
+        .add("commit", "string").add("lang", "string").add("content", "string")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), schema,
+            ["repo", "path", "commit"], num_buckets=int(CPUS), write_mode=mode,
+        )
+        events = flatten_events(
+            synth_change_events(spark, n_events, seed=42, n_keys=n_events // 4)
+        )
+        events.persist()
+        try:
+            events.count()  # materialize the synthetic stream outside the clock
+            t0 = time.time()
+            driver = ReplayDriver(
+                table, batch_events=(n_events + n_batches - 1) // n_batches,
+                salt_buckets=None,
+            )
+            driver.replay(events, seq_start=0, seq_end=n_events)
+            wall = time.time() - t0
+        finally:
+            events.unpersist()
+        rows = table.read().count()
+        return {
+            "mode": mode,
+            "events": n_events,
+            "batches": n_batches,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1),
+            "final_rows": rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from synapse_etl_jobs_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # materialize
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    cdc = run_cdc_replay(spark, N_EVENTS, N_BATCHES, mode="mor")
+    times["cdc_replay_mor"] = cdc["wall_sec"]
+    total += cdc["wall_sec"]
+    print(f"# cdc_replay_mor: {cdc}", file=sys.stderr)
+
+    cdc_cow = run_cdc_replay(spark, N_EVENTS // 2, N_BATCHES, mode="cow")
+    times["cdc_replay_cow"] = cdc_cow["wall_sec"]
+    total += cdc_cow["wall_sec"]
+    print(f"# cdc_replay_cow: {cdc_cow}", file=sys.stderr)
+
+    out = {
+        "metric": "headline suite wall time (operator queries + full CDC replay)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cdc_events": cdc["events"],
+        "cdc_events_per_sec": cdc["events_per_sec"],
+        "cdc_cow_events_per_sec": cdc_cow["events_per_sec"],
+        "cdc_final_rows": cdc["final_rows"],
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

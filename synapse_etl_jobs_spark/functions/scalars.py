@@ -57,8 +57,9 @@ def millis_to_timestamp(c) -> Column:
 
 
 def timestamp_to_millis(c) -> Column:
-    """Timestamp → epoch ms (bigint)."""
-    return F.unix_millis(_col(c))
+    """Timestamp → epoch ms (bigint). Casts first so TIMESTAMP_NTZ inputs
+    (naive parquet timestamps) are interpreted as UTC wall clock."""
+    return F.unix_millis(_col(c).cast("timestamp"))
 
 
 def iso8601_to_millis(c) -> Column:

@@ -124,15 +124,19 @@ class LakeTable:
         key_cols: Sequence[str],
         bucket_cols: Sequence[str] | None = None,
         num_buckets: int = 16,
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the logical user schema
         (keys + payload; no internal columns). ``bucket_cols`` defaults to
         the first key column — the ``bucket(N, repo)`` spec of the north
         rule: co-locates a repo's rows so point-in-repo merges prune to
-        one bucket."""
+        one bucket. ``write_mode``: 'cow' (read-optimized) or 'mor'
+        (ingest-optimized; see ``merge``)."""
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write mode: {write_mode}")
         bucket_cols = list(bucket_cols or key_cols[:1])
         os.makedirs(cls._manifest_dir(path), exist_ok=False)
         m = Manifest(
@@ -145,6 +149,7 @@ class LakeTable:
             buckets={},
             applied_batches={},
             parent_version=None,
+            props={"write_mode": write_mode},
         )
         cls._commit_manifest(path, m)
         return cls(spark, path, m)
@@ -210,6 +215,18 @@ class LakeTable:
             ]
         )
 
+    def _current_view(self, entries: list[dict[str, Any]]) -> DataFrame | None:
+        """Snapshot view over file entries: raw read for pure-base buckets;
+        when delta files are present (merge-on-read mode) an LWW reduction
+        collapses multi-version keys first — the read-time half of the
+        CoW/MoR tradeoff (Iceberg merge-on-read semantics)."""
+        df = self._read_files(entries)
+        if df is None:
+            return None
+        if any(e.get("kind", "base") == "delta" for e in entries):
+            df = dedup_lww(df, self.manifest.key_cols, SEQ_COL)
+        return df
+
     def read(self, include_internal: bool = False) -> DataFrame:
         """Current snapshot as a DataFrame (empty if no data yet).
 
@@ -217,7 +234,7 @@ class LakeTable:
         ``_deleted`` columns (maintenance/debug); the default hides both.
         """
         entries = [e for lst in self.manifest.buckets.values() for e in lst]
-        df = self._read_files(entries)
+        df = self._current_view(entries)
         if df is None:
             schema = self.manifest.current_schema()
             if include_internal:
@@ -249,7 +266,7 @@ class LakeTable:
             if int(b) in wanted
             for e in lst
         ]
-        df = self._read_files(entries)
+        df = self._current_view(entries)
         if df is None:
             return self.spark.createDataFrame([], self.manifest.current_schema())
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
@@ -271,10 +288,25 @@ class LakeTable:
         batch_id: int | str | None = None,
         salt_buckets: int | None = None,
         collect_lineage: bool = True,
+        mode: str | None = None,
     ) -> dict[str, Any]:
         """MERGE the update batch into the table (Iceberg ``MERGE INTO``
         semantics: matched DELETE → delete, matched upsert → update,
         unmatched upsert → insert), last-writer-wins on ``seq``.
+
+        Two write modes (Iceberg's copy-on-write vs merge-on-read):
+
+        - ``mode="cow"``: rewrite affected buckets with the merged result —
+          reads stay reduction-free, but each merge re-writes every
+          touched bucket (write amplification ∝ table density of the
+          batch's keys);
+        - ``mode="mor"``: append the reduced batch as DELTA files — merge
+          cost is O(batch) regardless of table size (the sustained-ingest
+          shape the 10^10-event north rule needs); reads LWW-reduce until
+          ``compact()`` folds deltas into base files.
+
+        Default comes from the table property ``write_mode`` (set at
+        ``create``), falling back to ``cow``.
 
         Copy-on-write limited to affected buckets:
 
@@ -295,6 +327,9 @@ class LakeTable:
         Returns stats for lineage/metrics.
         """
         m = self.manifest
+        mode = mode or m.props.get("write_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write mode: {mode}")
         if batch_id is not None and self.is_batch_applied(stream_id, batch_id):
             return {"applied": False, "reason": "batch_already_applied",
                     "table_version": m.table_version}
@@ -326,19 +361,24 @@ class LakeTable:
         batch = batch.withColumn(BUCKET_COL, self._bucket_expr())
         batch.persist()
         try:
-            affected = sorted(
-                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-            )
+            # ONE action yields affected buckets + lineage stats together
             src_stats = batch.agg(
+                F.collect_set(BUCKET_COL).alias("buckets"),
                 F.count(F.lit(1)).alias("events"),
                 F.min(SEQ_COL).alias("seq_min"),
                 F.max(SEQ_COL).alias("seq_max"),
-            ).collect()[0] if collect_lineage else None
+            ).collect()[0]
+            affected = sorted(src_stats["buckets"])
 
-            stored_entries = [
-                e for b in affected for e in m.buckets.get(str(b), [])
-            ]
-            stored = self._read_files(stored_entries)
+            if mode == "cow":
+                stored_entries = [
+                    e for b in affected for e in m.buckets.get(str(b), [])
+                ]
+                # multi-version delta rows need no pre-reduction here: the
+                # LWW dedup below picks the winner across stored ∪ batch
+                stored = self._read_files(stored_entries)
+            else:
+                stored = None  # mor: never read the table on the write path
 
             if stored is not None:
                 stored = stored.select(
@@ -371,12 +411,13 @@ class LakeTable:
             batch.unpersist()
 
         new_buckets = dict(m.buckets)
+        kind = "base" if mode == "cow" else "delta"
         files_written, bytes_written, rows_written = 0, 0, 0
         lineage_rows = []
         for b in affected:
-            entries = []
+            entries = [] if mode == "cow" else list(m.buckets.get(str(b), []))
             for fp in written.get(b, []):
-                entry = {"path": fp, "schema_id": m.current_schema_id}
+                entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
                 entries.append(entry)
                 files_written += 1
                 if collect_lineage:
@@ -395,9 +436,9 @@ class LakeTable:
                             "file": fp,
                             "rows": md.num_rows,
                             "bytes": nb,
-                            "seq_min": src_stats["seq_min"],
-                            "seq_max": src_stats["seq_max"],
-                            "source_events": src_stats["events"],
+                            "seq_min": int(src_stats["seq_min"]),
+                            "seq_max": int(src_stats["seq_max"]),
+                            "source_events": int(src_stats["events"]),
                         }
                     )
             new_buckets[str(b)] = entries  # empty list = bucket fully deleted
@@ -406,7 +447,7 @@ class LakeTable:
         if batch_id is not None:
             applied.setdefault(stream_id, {})[str(batch_id)] = {
                 "table_version": new_version,
-                "seq_max": int(src_stats["seq_max"]) if src_stats else None,
+                "seq_max": int(src_stats["seq_max"]) if src_stats["seq_max"] is not None else None,
             }
 
         new_manifest = Manifest(
@@ -433,7 +474,8 @@ class LakeTable:
             "files_written": files_written,
             "rows_written": rows_written,
             "bytes_written": bytes_written,
-            "source_events": int(src_stats["events"]) if src_stats else None,
+            "source_events": int(src_stats["events"]),
+            "mode": mode,
         }
 
     def compact(self, *, drop_tombstones: bool = True, files_per_bucket: int = 1) -> dict:
@@ -450,7 +492,7 @@ class LakeTable:
         if not buckets:
             return {"applied": False, "reason": "empty table"}
         entries = [e for b in buckets for e in m.buckets[str(b)]]
-        df = self._read_files(entries)
+        df = self._current_view(entries)  # folds MoR deltas
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -467,7 +509,7 @@ class LakeTable:
         written = _list_parquet_files(commit_dir)
         new_buckets = {
             str(b): [
-                {"path": fp, "schema_id": m.current_schema_id}
+                {"path": fp, "schema_id": m.current_schema_id, "kind": "base"}
                 for fp in written.get(b, [])
             ]
             for b in buckets

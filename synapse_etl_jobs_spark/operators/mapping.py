@@ -43,7 +43,7 @@ def _cast(col: Column, src_type: str, dst_type: str) -> Column:
         # Glue interprets bigint→timestamp as epoch milliseconds.
         return F.timestamp_millis(col.cast("long"))
     if src == "timestamp" and dst in ("bigint", "long"):
-        return F.unix_millis(col)
+        return F.unix_millis(col.cast("timestamp"))  # NTZ-tolerant (UTC session)
     if dst in ("array", "struct", "choice") or src == dst:
         return col  # keep as-is; complex shapes are handled by the caller
     return col.cast(_TYPE_ALIASES.get(dst, dst))

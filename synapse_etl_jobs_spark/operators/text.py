@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All tokenization/scoring is native Catalyst expressions (split, regexp,
+higher-order array functions) — no Python in the hot path — so they run
+at scan speed over 100 TB of documents. Deterministic by construction:
+every score is an exact function of the text, reproducible in ANSI SQL
+(the DuckDB oracles in __spark_entry__.py mirror these formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lists (public stopwords); argmax voting
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "und", "das", "von", "den", "mit", "ein", "eine", "ist"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+_PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(c) -> Column:
+    """Whitespace tokenization with empty tokens removed."""
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(c) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c) -> Column:
+    """Sub-word-ish token count: word tokens split further at letter/digit
+    boundaries and every 4 characters — a cheap BPE proxy for budget
+    estimation (counts, not ids)."""
+    col = c if isinstance(c, Column) else F.col(c)
+    pieces = F.split(col, r"\s+|(?<=[a-zA-Z])(?=\d)|(?<=\d)(?=[a-zA-Z])")
+    return F.aggregate(
+        F.filter(pieces, lambda t: t != ""),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-scoring features, one select (all codegen):
+    char/token counts, mean token length, punctuation-ish & digit &
+    uppercase & stopword ratios. Formulas use portable ASCII character
+    classes and 6-dp rounding so they are reproducible bit-for-bit in
+    ANSI SQL (the DuckDB oracle mirrors them exactly)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_char = F.length(t)
+    n_tok = F.size(toks)
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, F.lower(x))))
+
+    def ratio(num, den):
+        return F.round(num / F.greatest(den.cast("double"), F.lit(1.0)), 6)
+
+    return df.select(
+        "*",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tokens"),
+        ratio(n_char, F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
+        # count of chars NOT alnum/whitespace — a portable punct proxy
+        ratio(F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")), n_char).alias("punct_ratio"),
+        ratio(F.length(F.regexp_replace(t, r"[^0-9]", "")), n_char).alias("digit_ratio"),
+        ratio(F.length(F.regexp_replace(t, r"[^A-Z]", "")), n_char).alias("upper_ratio"),
+        ratio(stop_hits, F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+def language_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = tokens(text_col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+    return out
+
+
+def detect_language(text_col: str = "text") -> Column:
+    """Argmax of marker votes, deterministic tie order en>es>fr>de>zh;
+    zero hits → 'und'. N-gram-free heuristic — cheap and SQL-mirrorable."""
+    scores = language_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # first lang wins ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def char_shingles(c, k: int = 3) -> Column:
+    """Distinct k-character shingles of a string (native, no UDF)."""
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(1))),
+            lambda i: col.substr(i, F.lit(k)),
+        )
+    )
+
+
+def fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
+    min xxhash64 over each sliding window of token hashes, distinct, sorted.
+    Robust to small edits; native expressions only."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,130 @@
+"""Replay drivers: the engine's incremental-processing story.
+
+The reference approximates a stream with scheduled Glue jobs + job
+bookmarks (``transformation_ctx`` + ``job.commit``, glue_job.py:40-44,57,89):
+state = source high-watermark, advanced atomically after a successful
+write. Here the same contract is:
+
+- ``ReplayDriver``: seq-windowed batch replay of an event DataFrame —
+  each batch is ``merge``d with a deterministic ``batch_id``; the batch
+  marker set in the table manifest IS the bookmark. Killing the driver at
+  any point and restarting replays from zero but already-applied batches
+  short-circuit (marker) and half-applied ones reconverge (LWW) — i.e.
+  exactly-once TABLE STATE without distributed transactions.
+- ``stream_into_table``: Structured Streaming file source →
+  ``foreachBatch`` merge, checkpoint directory + the same markers. The
+  checkpoint makes Spark replay the same batch with the same batch_id
+  after a crash; the marker makes the replay a no-op.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synapse_etl_jobs_spark.lake.table import LakeTable
+
+
+class ReplayDriver:
+    """Seq-windowed batch replay into a LakeTable."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        *,
+        stream_id: str = "replay",
+        batch_events: int = 1_000_000,
+        salt_buckets: int | None = None,
+        op_col: str = "op",
+        seq_col: str = "seq",
+    ):
+        self.table = table
+        self.stream_id = stream_id
+        self.batch_events = batch_events
+        self.salt_buckets = salt_buckets
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def replay(
+        self, events: DataFrame, *, seq_start: int = 0, seq_end: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Apply ``events`` in seq-range batches. Batch ids are the batch's
+        seq-window index — deterministic across runs, so a restarted
+        replay lines up with the markers of the previous attempt."""
+        if seq_end is None:
+            seq_end = events.agg(F.max(self.seq_col)).collect()[0][0]
+            if seq_end is None:
+                return []
+            seq_end = int(seq_end) + 1
+        stats = []
+        b = self.batch_events
+        for batch_id in range(seq_start // b, (seq_end + b - 1) // b):
+            lo, hi = batch_id * b, (batch_id + 1) * b
+            if self.table.is_batch_applied(self.stream_id, batch_id):
+                stats.append({"applied": False, "batch_id": batch_id,
+                              "reason": "batch_already_applied"})
+                continue
+            batch = events.filter(
+                (F.col(self.seq_col) >= lo) & (F.col(self.seq_col) < hi)
+            )
+            s = self.table.merge(
+                batch,
+                op_col=self.op_col,
+                seq_col=self.seq_col,
+                stream_id=self.stream_id,
+                batch_id=batch_id,
+                salt_buckets=self.salt_buckets,
+            )
+            s["batch_id"] = batch_id
+            stats.append(s)
+        return stats
+
+    def high_watermark(self) -> int | None:
+        """Max applied seq for this stream (the bookmark value)."""
+        marks = self.table.manifest.applied_batches.get(self.stream_id, {})
+        seqs = [v.get("seq_max") for v in marks.values() if v.get("seq_max") is not None]
+        return max(seqs) if seqs else None
+
+
+def stream_into_table(
+    table: LakeTable,
+    events_stream: DataFrame,
+    checkpoint_dir: str,
+    *,
+    stream_id: str = "stream",
+    op_col: str = "op",
+    seq_col: str = "seq",
+    salt_buckets: int | None = None,
+    trigger_once: bool = True,
+):
+    """Structured-Streaming ingestion: ``foreachBatch`` merge with the
+    Spark-assigned ``batch_id`` as the marker key. The checkpoint directory
+    gives at-least-once redelivery of each micro-batch; the marker + LWW
+    merge turn that into exactly-once table state.
+
+    ``trigger_once`` runs one availableNow pass (the scheduled-batch shape
+    the reference uses); set False for continuous micro-batches.
+    """
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(
+            batch_df,
+            op_col=op_col,
+            seq_col=seq_col,
+            stream_id=stream_id,
+            batch_id=batch_id,
+            salt_buckets=salt_buckets,
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if trigger_once:
+        query.awaitTermination()
+    return query

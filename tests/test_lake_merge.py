@@ -151,6 +151,45 @@ def test_bucket_pruned_scan(spark, events, tmp_table_path):
     assert got.count() == len(one_repo)
 
 
+def test_mor_multi_batch_replay(spark, events, tmp_table_path):
+    """Merge-on-read: merges append deltas only; reads LWW-reduce; state
+    equals the oracle; compaction folds deltas without changing state."""
+    t = LakeTable.create(
+        spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8, write_mode="mor"
+    )
+    for i in range(4):
+        batch = events.filter(
+            (F.col("seq") >= i * 1000) & (F.col("seq") < (i + 1) * 1000)
+        )
+        s = t.merge(batch, batch_id=i)
+        assert s["mode"] == "mor"
+    expected = pandas_oracle(events.toPandas())
+    assert_states_equal(table_state(t), expected)
+    # deltas accumulated: >1 file per bucket before compaction
+    n_entries = sum(len(v) for v in t.manifest.buckets.values())
+    assert n_entries > 8
+    t.compact()
+    assert all(
+        e["kind"] == "base" for v in t.manifest.buckets.values() for e in v
+    )
+    assert_states_equal(table_state(t), expected)
+
+
+def test_mor_delete_and_stale_update(spark, tmp_table_path):
+    t = LakeTable.create(
+        spark, tmp_table_path, SCHEMA, KEYS, num_buckets=4, write_mode="mor"
+    )
+    ddl = ("op string, seq long, repo string, path string, commit string, "
+           "lang string, content string")
+    t.merge(spark.createDataFrame(
+        [("INSERT", 1, "r1", "a.py", "c1", "python", "v1")], ddl), batch_id=0)
+    t.merge(spark.createDataFrame(
+        [("DELETE", 3, "r1", "a.py", "c1", None, None)], ddl), batch_id=1)
+    t.merge(spark.createDataFrame(
+        [("UPDATE", 2, "r1", "a.py", "c1", "python", "zombie")], ddl), batch_id=2)
+    assert t.read().count() == 0
+
+
 def test_time_travel(spark, events, tmp_table_path):
     t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=8)
     t.merge(events.filter(F.col("seq") < 2000), batch_id=0)

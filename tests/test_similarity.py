@@ -1,0 +1,92 @@
+"""Embedding similarity search (exact + LSH) and multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from synapse_etl_jobs_spark.operators import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # nearest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),   # nearest to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = similarity.brute_force_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [1, 2]
+    assert ranked[0]["sim"] > 0.99
+
+
+def test_brute_force_excludes_self_and_orders(spark, vectors):
+    out = similarity.brute_force_topk(vectors, vectors, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert all(r["neighbor_id"] != q for r in rows)
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_rp_lsh_recall_on_testdata(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    # these embeddings are weakly similar (max cos ≈ 0.35 → θ ≈ 70°), so
+    # per-table collision prob ≈ 0.61^bits — use short signatures and many
+    # tables: expected recall 1-(1-0.61^4)^16 ≈ 0.9
+    approx = similarity.rp_lsh_topk(e, q, k=5, bits=4, tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    assert hit / max(total, 1) >= 0.5  # LSH recall sanity floor
+
+
+def test_media_feature_plumbing(spark):
+    media = multimodal.synth_media(spark, 20)
+    out = multimodal.extract_image_features(media, dim=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["features"]) == 8
+        assert r["n_bytes"] > 0
+        assert len(r["content_hash"]) == 64
+    # deterministic across runs
+    out2 = multimodal.extract_image_features(media, dim=8).collect()
+    assert {r["media_id"]: r["content_hash"] for r in out} == {
+        r["media_id"]: r["content_hash"] for r in out2
+    }
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synth_media(spark, 30)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert len(got) == len(durations) > 0
+    for r in got:
+        assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
+
+
+def test_real_codec_is_stubbed(spark):
+    media = multimodal.synth_media(spark, 2)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(media, use_real_codec=True)

@@ -1,0 +1,122 @@
+"""Text analysis + fuzzy dedup operators."""
+
+import pyspark.sql.functions as F
+
+from synapse_etl_jobs_spark.operators import dedup_text, text
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_token_count_and_quality(spark):
+    df = docs(spark, ["the cat  sat", "", "  a  b  ", "UPPER 123 !!"])
+    out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens"] == 2
+    assert out[3]["digit_ratio"] == round(3 / 12, 6)
+    assert out[3]["punct_ratio"] == round(2 / 12, 6)
+    assert out[0]["stopword_ratio"] == round(1 / 3, 6)
+
+
+def test_detect_language(spark):
+    df = docs(spark, [
+        "the cat and the dog sat in the yard",
+        "el perro y la casa de los gatos",
+        "le chien et le chat dans les rues",
+        "der hund und die katze mit dem ball",
+        "xyzzy qwerty plugh",
+    ])
+    out = [r["lang_pred"] for r in df.select(
+        "doc_id", text.detect_language("text").alias("lang_pred")
+    ).orderBy("doc_id").collect()]
+    assert out == ["en", "es", "fr", "de", "und"]
+
+
+def test_fingerprint_stability(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "sleepy", 1)
+    df = docs(spark, [base, base, edited])
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1]  # deterministic
+    # small edit → most fingerprints shared (winnowing locality)
+    shared = len(set(fps[0]) & set(fps[2]))
+    assert shared >= len(fps[0]) * 0.5
+
+
+def test_dedup_exact(spark):
+    df = docs(spark, ["aaa", "bbb", "aaa", "ccc", "bbb"])
+    kept = sorted(r["doc_id"] for r in dedup_text.dedup_exact(df).collect())
+    assert kept == [0, 1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    near = base.replace("runs", "walks")
+    far1 = "completely different content about spark sql engines and shuffles " * 4
+    far2 = "yet another unrelated document talking about parquet files only " * 4
+    df = docs(spark, [base, near, far1, far2])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_text.minhash_lsh_candidates(
+            df, shingle_k=5, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_minhash_dedup_removes_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    near = base.replace("runs", "walks")
+    far = "completely different content about spark sql engines and shuffles " * 4
+    df = docs(spark, [base, near, far])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_text.minhash_dedup(
+            df, threshold=0.6, shingle_k=5, num_hashes=32, bands=8
+        ).collect()
+    )
+    assert kept == [0, 2]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = docs(spark, ["abcd", "abcd", "zzzz"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(df, pairs, k=3).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(1, 2)] == 0.0
+
+
+def test_simhash_properties(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("dog", "cat")
+    far = "completely different words here about databases " * 3
+    df = docs(spark, [base, base, near, far])
+    out = [r[0] for r in df.select(
+        dedup_text.simhash_column("text")
+    ).collect()]
+    assert out[0] == out[1]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[2]) < ham(out[0], out[3])
+
+
+def test_simhash_near_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and then sleeps " * 3
+    near = base.replace("sleeps", "rests")
+    far = "entirely unrelated database engine shuffle partition text " * 3
+    df = docs(spark, [base, near, far])
+    # pigeonhole guarantee needs max_hamming < blocks: 10-bit distance →
+    # 16 blocks of 4 bits guarantee ≥1 shared block
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_text.simhash_near_pairs(df, max_hamming=10, blocks=16).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
