@@ -74,6 +74,31 @@ def _list_parquet_files(root: str) -> dict[int, list[str]]:
     return out
 
 
+def _footer_stats(files: list[str], seq_col: str) -> dict[str, Any]:
+    """Row count, byte size, and seq min/max straight from parquet footers
+    (row-group column statistics) — lineage without any extra Spark job."""
+    import pyarrow.parquet as pq
+
+    rows, nbytes = 0, 0
+    seq_min: int | None = None
+    seq_max: int | None = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        rows += md.num_rows
+        nbytes += os.path.getsize(fp)
+        try:
+            idx = md.schema.names.index(seq_col)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            seq_min = st.min if seq_min is None else min(seq_min, st.min)
+            seq_max = st.max if seq_max is None else max(seq_max, st.max)
+    return {"rows": rows, "bytes": nbytes, "seq_min": seq_min, "seq_max": seq_max}
+
+
 @dataclass
 class Manifest:
     table_version: int
@@ -251,10 +276,13 @@ class LakeTable:
         the given ``bucket_cols`` value tuples (the payoff of hash
         bucketing — at 100 TB this touches #distinct-buckets files, not
         the table)."""
-        from pyspark.sql import Row
+        import pandas as pd
 
         probe = self.spark.createDataFrame(
-            [Row(**dict(zip(self.manifest.bucket_cols, kv))) for kv in key_values]
+            pd.DataFrame(
+                {c: [kv[i] for kv in key_values]
+                 for i, c in enumerate(self.manifest.bucket_cols)}
+            )
         )
         wanted = {
             r[0]
@@ -308,21 +336,27 @@ class LakeTable:
         Default comes from the table property ``write_mode`` (set at
         ``create``), falling back to ``cow``.
 
-        Copy-on-write limited to affected buckets:
+        Execution (both modes):
 
         1. idempotency gate — a batch_id already recorded is a no-op;
-        2. LWW-reduce the batch itself (salted two-phase if requested);
-        3. bucket-prune: only buckets named by the batch's keys are read;
-        4. union stored rows (they carry ``_seq`` and ``_deleted``) with
-           the batch and LWW-reduce again — replayed stale events lose to
-           stored rows, making re-merge of any suffix idempotent even
-           WITHOUT the batch marker (the marker is an optimization, not a
-           correctness crutch);
-        5. DELETE winners are kept as TOMBSTONES (``_deleted=true``,
+        2. LWW-reduce the batch (salted two-phase if requested) and write
+           it bucket-partitioned in ONE Spark job; affected buckets, row
+           counts, bytes, and the batch's seq range all come from the
+           written parquet FOOTERS — no second pass, no caching of the
+           batch (benched: persist of the deduped batch cost more than
+           the whole write);
+        3. ``mor``: commit those files as deltas — done;
+           ``cow``: second job joins stored files of the affected buckets
+           with the staged files (plain parquet reads, no recompute) via
+           LWW dedup and rewrites those buckets as base files. Replayed
+           stale events lose to stored rows, so re-merge of any suffix is
+           idempotent even WITHOUT the batch marker (the marker is an
+           optimization, not a correctness crutch);
+        4. DELETE winners are kept as TOMBSTONES (``_deleted=true``,
            hidden from reads): without them, a stale pre-delete update
            merged later would resurrect the key — tombstones make merge
            fully order-insensitive. ``compact()`` garbage-collects them;
-        6. write new bucket files, commit the manifest atomically.
+        5. commit the manifest atomically.
 
         Returns stats for lineage/metrics.
         """
@@ -352,63 +386,63 @@ class LakeTable:
             F.col(seq_col).cast("long").alias(SEQ_COL),
         )
 
-        # (2) reduce the batch: one winner per key
+        # (2) reduce the batch to one winner per key, tombstone-flag it,
+        # and write it bucket-partitioned — the ONLY pass over the input
         if salt_buckets:
             batch = dedup_lww_salted(batch, m.key_cols, SEQ_COL, salt_buckets)
         else:
             batch = dedup_lww(batch, m.key_cols, SEQ_COL)
+        staged_df = (
+            batch.withColumn(BUCKET_COL, self._bucket_expr())
+            .withColumn(DELETED_COL, F.col(OP_COL).isin(*DELETE_OPS))
+            .drop(OP_COL)
+        )
 
-        batch = batch.withColumn(BUCKET_COL, self._bucket_expr())
-        batch.persist()
-        try:
-            # ONE action yields affected buckets + lineage stats together
-            src_stats = batch.agg(
-                F.collect_set(BUCKET_COL).alias("buckets"),
-                F.count(F.lit(1)).alias("events"),
-                F.min(SEQ_COL).alias("seq_min"),
-                F.max(SEQ_COL).alias("seq_max"),
-            ).collect()[0]
-            affected = sorted(src_stats["buckets"])
+        new_version = m.table_version + 1
+        commit_dir = os.path.join(
+            self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
+        )
+        stage_dir = (
+            commit_dir
+            if mode == "mor"
+            else os.path.join(self.path, "_staging", f"s{uuid.uuid4().hex[:8]}")
+        )
+        (
+            staged_df.repartition(m.num_buckets, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .parquet(stage_dir)
+        )
+        staged = _list_parquet_files(stage_dir)
 
-            if mode == "cow":
-                stored_entries = [
-                    e for b in affected for e in m.buckets.get(str(b), [])
-                ]
-                # multi-version delta rows need no pre-reduction here: the
-                # LWW dedup below picks the winner across stored ∪ batch
-                stored = self._read_files(stored_entries)
-            else:
-                stored = None  # mor: never read the table on the write path
+        # affected buckets + lineage stats from parquet footers (no 2nd pass)
+        affected = sorted(staged)
+        src_stats = _footer_stats(
+            [fp for fps in staged.values() for fp in fps], SEQ_COL
+        )
 
-            if stored is not None:
-                stored = stored.select(
-                    *user_cols,
-                    F.when(F.col(DELETED_COL), F.lit("DELETE"))
-                    .otherwise(F.lit("UPSERT"))
-                    .alias(OP_COL),
-                    F.col(SEQ_COL),
-                ).withColumn(BUCKET_COL, self._bucket_expr())
-                combined = stored.unionByName(batch)
-                merged = dedup_lww(combined, m.key_cols + [BUCKET_COL], SEQ_COL)
-            else:
-                merged = batch
-            result = merged.withColumn(
-                DELETED_COL, F.col(OP_COL).isin(*DELETE_OPS)
-            ).drop(OP_COL)
-
-            # (6) write only affected buckets; one shuffle partition per bucket
-            new_version = m.table_version + 1
-            commit_dir = os.path.join(
-                self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
+        if mode == "cow" and affected:
+            # second job: fold staged deltas into the affected buckets'
+            # stored files — pure parquet reads, no recompute of the batch
+            staged_entries = [
+                {"path": fp, "schema_id": m.current_schema_id, "kind": "delta"}
+                for fps in staged.values()
+                for fp in fps
+            ]
+            stored_entries = [
+                e for b in affected for e in m.buckets.get(str(b), [])
+            ]
+            combined = self._read_files(stored_entries + staged_entries)
+            merged = dedup_lww(combined, m.key_cols, SEQ_COL).withColumn(
+                BUCKET_COL, self._bucket_expr()
             )
             (
-                result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+                merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
                 .write.partitionBy(BUCKET_COL)
                 .parquet(commit_dir)
             )
             written = _list_parquet_files(commit_dir)
-        finally:
-            batch.unpersist()
+        else:
+            written = staged
 
         new_buckets = dict(m.buckets)
         kind = "base" if mode == "cow" else "delta"
@@ -419,14 +453,11 @@ class LakeTable:
             for fp in written.get(b, []):
                 entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
                 entries.append(entry)
+                fstats = _footer_stats([fp], SEQ_COL)
                 files_written += 1
+                rows_written += fstats["rows"]
+                bytes_written += fstats["bytes"]
                 if collect_lineage:
-                    import pyarrow.parquet as pq
-
-                    md = pq.ParquetFile(fp).metadata
-                    nb = os.path.getsize(fp)
-                    rows_written += md.num_rows
-                    bytes_written += nb
                     lineage_rows.append(
                         {
                             "table_version": new_version,
@@ -434,20 +465,24 @@ class LakeTable:
                             "batch_id": str(batch_id) if batch_id is not None else None,
                             "bucket": b,
                             "file": fp,
-                            "rows": md.num_rows,
-                            "bytes": nb,
-                            "seq_min": int(src_stats["seq_min"]),
-                            "seq_max": int(src_stats["seq_max"]),
-                            "source_events": int(src_stats["events"]),
+                            "rows": fstats["rows"],
+                            "bytes": fstats["bytes"],
+                            "seq_min": src_stats["seq_min"],
+                            "seq_max": src_stats["seq_max"],
+                            "source_events": src_stats["rows"],
                         }
                     )
             new_buckets[str(b)] = entries  # empty list = bucket fully deleted
+        if mode == "cow" and stage_dir != commit_dir:
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
         applied = {k: dict(v) for k, v in m.applied_batches.items()}
         if batch_id is not None:
             applied.setdefault(stream_id, {})[str(batch_id)] = {
                 "table_version": new_version,
-                "seq_max": int(src_stats["seq_max"]) if src_stats["seq_max"] is not None else None,
+                "seq_max": src_stats["seq_max"],
             }
 
         new_manifest = Manifest(
@@ -474,7 +509,7 @@ class LakeTable:
             "files_written": files_written,
             "rows_written": rows_written,
             "bytes_written": bytes_written,
-            "source_events": int(src_stats["events"]),
+            "source_events": src_stats["rows"],
             "mode": mode,
         }
 
@@ -552,10 +587,28 @@ class LakeTable:
                 StructField("source_events", LongType()),
             ]
         )
-        df = self.spark.createDataFrame(
-            [tuple(r[f.name] for f in schema.fields) for r in rows], schema
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # direct driver-side parquet append — lineage rows are a handful
+        # per commit, so a Spark job here is pure serial overhead on the
+        # ingest path (and with a python-list DataFrame it even spins up
+        # Python workers: benched ~5 s per append)
+        lineage_dir = os.path.join(self.path, "_lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        arrow_schema = pa.schema(
+            [
+                (f.name, pa.int64() if f.dataType.typeName() in ("long", "integer")
+                 else pa.string())
+                for f in schema.fields
+            ]
         )
-        df.coalesce(1).write.mode("append").parquet(os.path.join(self.path, "_lineage"))
+        tbl = pa.Table.from_pylist(
+            [{k: (int(v) if isinstance(v, int) else v) for k, v in r.items()}
+             for r in rows],
+            schema=arrow_schema,
+        )
+        pq.write_table(tbl, os.path.join(lineage_dir, f"l-{uuid.uuid4().hex}.parquet"))
 
     def lineage(self) -> DataFrame:
         p = os.path.join(self.path, "_lineage")

@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # advisory shuffle-partition size: the 64m default coalesces the
+        # modest per-batch shuffles of local runs down to 2-3 tasks and
+        # caps parallelism (benched: 1.5x on CDC replay at local[32]).
+        # On a real cluster at 100 TB, raise via SPARK_GRAFT_ADVISORY.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
+        )
         # parquet scans: large splits keep task overhead low at 100 TB
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.compression.codec", "zstd")

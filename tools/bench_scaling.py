@@ -1,0 +1,98 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so per BASELINE.md the proxy is
+the same CDC replay job at two parallelism levels — local[8] and
+local[32] — on the same input. Each level runs in its OWN subprocess
+(fresh JVM) so nothing is shared. Reports throughput at both levels and
+efficiency = (T_small / T_big) / (cores_big / cores_small)... i.e.
+speedup / core-ratio.
+
+Usage: python tools/bench_scaling.py [n_events] [n_batches]
+Prints one JSON line; also meant to be pasted into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from synapse_etl_jobs_spark.session import get_spark
+from synapse_etl_jobs_spark.sources.synth import flatten_events, synth_change_events
+spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+n, out = int(sys.argv[1]), sys.argv[2]
+flatten_events(synth_change_events(spark, n, seed=42, n_keys=n//4)) \
+    .write.mode("overwrite").parquet(out)
+"""
+
+CHILD = r"""
+import json, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from pyspark.sql.types import StructType
+from synapse_etl_jobs_spark.session import get_spark
+from synapse_etl_jobs_spark.lake import LakeTable
+from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+cores, n, batches, src = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+schema = (StructType().add("repo","string").add("path","string")
+          .add("commit","string").add("lang","string").add("content","string"))
+ev = spark.read.parquet(src)   # same files at both levels — the real ingest shape
+tmp = tempfile.mkdtemp()
+t = LakeTable.create(spark, tmp+"/t", schema, ["repo","path","commit"],
+                     num_buckets=max(cores, 16), write_mode="mor")
+t0 = time.time()
+ReplayDriver(t, batch_events=(n+batches-1)//batches).replay(ev, seq_start=0, seq_end=n)
+wall = time.time() - t0
+rows = t.read().count()
+shutil.rmtree(tmp, ignore_errors=True)
+print(json.dumps({{"cores": cores, "wall_sec": round(wall,2),
+                  "events_per_sec": round(n/wall,1), "rows": rows}}))
+"""
+
+
+def run_level(cores: int, n: int, batches: int, src: str) -> dict:
+    code = CHILD.format(repo=HERE)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n), str(batches), src],
+        capture_output=True, text=True, timeout=2400,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-2000:]}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    src = os.path.join(os.environ.get("TMPDIR", "/tmp"), f"scale_events_{n}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=HERE), str(n), src],
+            check=True, capture_output=True, text=True, timeout=2400,
+        )
+    small = run_level(8, n, batches, src)
+    big = run_level(32, n, batches, src)
+    assert small["rows"] == big["rows"], "parallelism changed the result!"
+    speedup = small["wall_sec"] / big["wall_sec"]
+    eff = speedup / (32 / 8)
+    print(json.dumps({
+        "events": n, "batches": batches,
+        "n_cores": small, "4n_cores": big,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
