@@ -402,6 +402,375 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     return rp_lsh_topk(e, q, k=3, bits=8, tables=4)
 
 
+def _augmented_embeddings(spark, sf_dir) -> DataFrame:
+    """Embeddings corpus ∪ exact copies shifted by +1000000 — deterministic
+    near-duplicates (cosine 1.0) for the embedding-dedup oracle queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return e.unionByName(dup)
+
+
+_EMB_AUG = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label FROM embeddings
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH aug AS ({_EMB_AUG})
+SELECT a.vec_id, a.label FROM aug a
+WHERE NOT EXISTS (
+  SELECT 1 FROM aug o
+  WHERE o.vec_id < a.vec_id
+    AND round(list_cosine_similarity(o.v, a.v), 6) >= 0.99
+)
+"""
+
+
+def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (verification path)."""
+    from synapse_etl_jobs_spark.operators.similarity import embedding_neardup_pairs
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    return embedding_neardup_pairs(aug, threshold=0.99, method="exact")
+
+
+def q_embedding_dedup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup removal, exact pair scoring."""
+    from synapse_etl_jobs_spark.operators.similarity import dedup_embedding
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    return dedup_embedding(aug, threshold=0.99, method="exact").select("vec_id", "label")
+
+
+def q_embedding_dedup_lsh(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup removal through the random-hyperplane LSH scale
+    path. Identical vectors collide in EVERY signature table, so for
+    exact-copy duplicates LSH recall is 1.0 and the same SQL oracle
+    applies — the gate checks the blocked-join path end-to-end."""
+    from synapse_etl_jobs_spark.operators.similarity import dedup_embedding
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    return dedup_embedding(
+        aug, threshold=0.99, method="lsh", bits=10, tables=4
+    ).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Access-record client analytics (F6/F8/F9) — vectorized pandas UDFs with
+# behavior pinned by the reference's 76-case corpus; oracles replicate the
+# synthesized inputs with CASE arms.
+# ---------------------------------------------------------------------------
+
+_UA_CASES = [
+    ("Synapse-Web-Client/435.0", "WEB", "435.0"),
+    ("Mozilla/5.0 (compatible; bot)", "WEB", "5.0"),
+    ("Synapse-Java-Client/512.1", "JAVA", "512.1"),
+    ("synapseclient/2.7.0 python-requests/2.28", "PYTHON", "2.7.0"),
+    ("synapser/0.11.7", "SYNAPSER", "0.11.7"),
+    ("curl/7.68.0", "UNKNOWN", None),
+]
+
+
+def _synth_user_agents(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    arms = F.when(F.pmod("c_custkey", F.lit(6)) == 0, F.lit(_UA_CASES[0][0]))
+    for i in range(1, 6):
+        arms = arms.when(F.pmod("c_custkey", F.lit(6)) == i, F.lit(_UA_CASES[i][0]))
+    return c.select("c_custkey", arms.alias("user_agent"))
+
+
+def _ua_case_sql(field: int) -> str:
+    arms = " ".join(
+        f"WHEN c_custkey % 6 = {i} THEN "
+        + ("NULL" if _UA_CASES[i][field] is None else f"'{_UA_CASES[i][field]}'")
+        for i in range(6)
+    )
+    return f"CASE {arms} END"
+
+
+def q_client_detection(spark, sf_dir) -> DataFrame:
+    """F8: user-agent → client enum (ordered marker cascade, pandas UDF)."""
+    from synapse_etl_jobs_spark.functions.access_record import client_udf
+
+    ua = _synth_user_agents(spark, sf_dir)
+    return ua.select("c_custkey", "user_agent", client_udf("user_agent").alias("client"))
+
+
+def q_client_version(spark, sf_dir) -> DataFrame:
+    """F9: (client, user-agent) → version (per-client regex, pandas UDF)."""
+    from synapse_etl_jobs_spark.functions.access_record import (
+        client_udf, client_version_udf,
+    )
+
+    ua = _synth_user_agents(spark, sf_dir)
+    withc = ua.withColumn("client", client_udf("user_agent"))
+    return withc.select(
+        "c_custkey", "client",
+        client_version_udf("client", "user_agent").alias("client_version"),
+    )
+
+
+def q_url_decode(spark, sf_dir) -> DataFrame:
+    """F6: percent-decode + strip ALL whitespace (pandas UDF)."""
+    from synapse_etl_jobs_spark.functions.access_record import decode_url_udf
+
+    c = _t(spark, sf_dir, "customer")
+    urls = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("path%20with%09tabs/"), F.col("c_custkey").cast("string"),
+            F.lit("%0A end"),
+        ).alias("raw_url"),
+    )
+    return urls.select(
+        "c_custkey", "raw_url", decode_url_udf("raw_url").alias("decoded")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested/array construction + reshaping (N1/N2/N4/N5)
+# ---------------------------------------------------------------------------
+
+def q_reshape_array(spark, sf_dir) -> DataFrame:
+    """N2/N5: build an array from a sequence, reshape each element into a
+    struct via a transform lambda, explode, and project struct fields."""
+    from synapse_etl_jobs_spark.operators.nested import explode_array, reshape_array
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    built = ev.select(
+        "event_id",
+        reshape_array(
+            F.sequence(F.lit(1), (F.pmod("event_id", F.lit(4)) + 1).cast("int")),
+            lambda x: F.struct(x.alias("idx"), (x * x).alias("sq")),
+        ).alias("items"),
+    )
+    exploded = explode_array(built, "items", "item")
+    return exploded.select(
+        "event_id", F.col("item.idx").alias("idx"), F.col("item.sq").alias("sq")
+    )
+
+
+def q_window_topk(spark, sf_dir) -> DataFrame:
+    """Per-key top-k ranking window (the general form of the LWW dedup):
+    top-3 events per user by value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def q_iso8601_roundtrip(spark, sf_dir) -> DataFrame:
+    """F11: epoch-ms ↔ ISO-8601 conversions (second granularity, UTC)."""
+    ev = _t(spark, sf_dir, "events")
+    trunc = F.date_trunc("second", F.col("ts"))
+    iso = F.date_format(trunc, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return ev.select(
+        "event_id",
+        iso.alias("iso"),
+        F.unix_millis(trunc).alias("epoch_ms"),
+        F.unix_millis(F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias(
+            "parsed_ms"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source/sink roundtrips (S1/S2/S8 + quarantine)
+# ---------------------------------------------------------------------------
+
+def q_json_gzip_roundtrip(spark, sf_dir) -> DataFrame:
+    """S8 sink + S1 scan: write gzip NDJSON partitioned by zero-padded
+    year/month/day (F12), read back recursively with an explicit schema."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.functions.scalars import year_month_day
+    from synapse_etl_jobs_spark.sources.readers import read_json
+
+    ev = _t(spark, sf_dir, "events")
+    y, m, d = year_month_day(F.col("ts"))
+    out = tempfile.mkdtemp(prefix="json_sink_") + "/t"
+    (
+        ev.select("event_id", "user_id", "event_type", y, m, d)
+        .write.partitionBy("year", "month", "day")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    schema = (
+        StructType()
+        .add("event_id", "long")
+        .add("user_id", "long")
+        .add("event_type", "string")
+    )
+    back = read_json(spark, out, schema, multiline=False, recursive=True)
+    return back.select("event_id", "user_id", "event_type")
+
+
+def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
+    """S2: quoted headerless CSV write + scan."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.sources.readers import read_csv
+
+    c = _t(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="csv_sink_") + "/t"
+    (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .write.option("header", "false")
+        .option("quoteAll", "true")
+        .csv(out)
+    )
+    schema = (
+        StructType()
+        .add("c_custkey", "long")
+        .add("c_name", "string")
+        .add("c_acctbal", "double")
+    )
+    back = read_csv(spark, out, schema, header=False, multiline=False)
+    return back.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_json_quarantine(spark, sf_dir) -> DataFrame:
+    """S1 + quarantine: corrupt records routed to ``_corrupt_record`` and
+    split out (not silently dropped); good rows come back intact."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.sources.readers import quarantine_split, read_json
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="json_q_") + "/t"
+    ev.select("event_id", "user_id").write.json(out)
+    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+        f.write('{"event_id": not-json\n{broken\n')
+    schema = StructType().add("event_id", "long").add("user_id", "long")
+    good, bad = quarantine_split(read_json(spark, out, schema))
+    n_bad = bad.count()
+    assert n_bad == 2, f"expected 2 quarantined rows, got {n_bad}"
+    return good.select("event_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Lake table: MoR + compaction, schema evolution, bucket-pruned point scan
+# ---------------------------------------------------------------------------
+
+def q_cdc_lake_merge_mor(spark, sf_dir) -> DataFrame:
+    """Full replay through merge-on-read deltas, then compact() folds them
+    into base files — same oracle as the CoW path (state convergence)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = tempfile.mkdtemp(prefix="lake_mor_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    n = ev.count()
+    ReplayDriver(table, batch_events=max(n // 3, 1)).replay(ev)
+    table.compact(drop_tombstones=False)
+    return table.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "value", F.col("_seq").alias("seq")
+    )
+
+
+def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
+    """Mid-stream schema evolution: merge epoch-0 batch, rename value→val
+    and add column k, merge epoch-1 batch with the new shape; epoch-0
+    files are resolved at read time via the rename map (no rewrite)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    props = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    split = ev.agg(F.max("seq")).collect()[0][0] // 2
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = tempfile.mkdtemp(prefix="lake_evo_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=8)
+    table.merge(ev.filter(F.col("seq") <= split), batch_id=0)
+    table.evolve_schema(add_columns=[("k", "integer")], renames={"value": "val"})
+    batch2 = (
+        ev.filter(F.col("seq") > split)
+        .join(props, "seq")
+        .select("op", "seq", "user_id", "event_type", F.col("value").alias("val"), "k")
+    )
+    table.merge(batch2, batch_id=1)
+    return table.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "val", "k", F.col("_seq").alias("seq")
+    )
+
+
+def q_lake_point_scan(spark, sf_dir) -> DataFrame:
+    """Bucket-pruned point lookup: scan_keys touches only the buckets the
+    probe keys hash to (hash-bucket partition pruning)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = tempfile.mkdtemp(prefix="lake_pt_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=16)
+    ReplayDriver(table, batch_events=10**9).replay(ev)
+    return table.scan_keys([(uid,) for uid in range(1, 11)]).filter(
+        F.col("user_id") <= 10
+    ).select("user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Remaining rows-only surface (LSH-dependent outputs)
+# ---------------------------------------------------------------------------
+
+def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (rows-only check)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=8, blocks=4)
+
+
+def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
+    """Full near-dup removal pipeline: LSH candidates → exact-Jaccard
+    verify → star-contraction representative (rows-only check)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.6, shingle_k=5, num_hashes=32, bands=8).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_media_plumbing(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: documents → binary media column → Arrow
     mapInPandas feature kernel; hash/size are SQL-checkable."""
@@ -452,6 +821,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "media_plumbing": q_media_plumbing,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "client_detection": q_client_detection,
+        "client_version": q_client_version,
+        "url_decode": q_url_decode,
+        "reshape_array": q_reshape_array,
+        "window_topk": q_window_topk,
+        "iso8601_roundtrip": q_iso8601_roundtrip,
+        "json_gzip_roundtrip": q_json_gzip_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_quarantine": q_json_quarantine,
+        "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
+        "lake_schema_evolution": q_lake_schema_evolution,
+        "lake_point_scan": q_lake_point_scan,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "minhash_dedup_full": q_minhash_dedup_full,
     }
 
 
@@ -637,5 +1023,89 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_hash
             FROM documents
+        """,
+        "embedding_neardup_pairs": f"""
+            WITH aug AS ({_EMB_AUG})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+        """,
+        "embedding_dedup": _EMB_DEDUP_ORACLE,
+        "embedding_dedup_lsh": _EMB_DEDUP_ORACLE,
+        "client_detection": f"""
+            SELECT c_custkey, {_ua_case_sql(0)} AS user_agent,
+                   {_ua_case_sql(1)} AS client
+            FROM customer
+        """,
+        "client_version": f"""
+            SELECT c_custkey, {_ua_case_sql(1)} AS client,
+                   {_ua_case_sql(2)} AS client_version
+            FROM customer
+        """,
+        "url_decode": """
+            SELECT c_custkey,
+                   'path%20with%09tabs/' || CAST(c_custkey AS VARCHAR) || '%0A end' AS raw_url,
+                   'pathwithtabs/' || CAST(c_custkey AS VARCHAR) || 'end' AS decoded
+            FROM customer
+        """,
+        "reshape_array": """
+            SELECT event_id, CAST(t.x AS INT) AS idx, CAST(t.x * t.x AS INT) AS sq
+            FROM events, unnest(range(1, event_id % 4 + 2)) AS t(x)
+            WHERE event_id < 2000
+        """,
+        "window_topk": """
+            WITH ranked AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            )
+            SELECT user_id, event_id, round(value, 2) AS value, CAST(rnk AS INT) AS rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        "iso8601_roundtrip": """
+            SELECT event_id,
+                   strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS iso,
+                   epoch_ms(date_trunc('second', ts)) AS epoch_ms,
+                   epoch_ms(date_trunc('second', ts)) AS parsed_ms
+            FROM events
+        """,
+        "json_gzip_roundtrip": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
+        "csv_roundtrip": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+        """,
+        "json_quarantine": """
+            SELECT event_id, user_id FROM events
+        """,
+        "cdc_lake_merge_mor": _CDC_ORACLE,
+        "lake_schema_evolution": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS val,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, val,
+                   CASE WHEN seq > (SELECT max(event_id) // 2 FROM events) THEN k END AS k,
+                   seq
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+        """,
+        "lake_point_scan": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id <= 10
         """,
     }

@@ -149,3 +149,92 @@ def rp_lsh_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
+
+    ``method='exact'`` scores every pair — the oracle/verification path,
+    O(n²), only for small corpora or post-LSH candidate lists.
+    ``method='lsh'`` is the scale path: candidates must collide in ≥1 of
+    ``tables`` random-hyperplane signature tables (the same blocked
+    self-join shape as MinHash-LSH banding — no cross product ever
+    materializes; the join key is a compact (table, sig) pair, so at 10^9
+    vectors the shuffle is #tables × n rows of three columns), then exact
+    cosine verifies candidates only. Recall of true near-dups rises with
+    ``tables``; for cosine ≥ 0.9 the collision probability per table is
+    (1 - arccos(0.9)/π)^bits, so 6 tables × 10 bits gives ≈ 0.87 recall.
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if method == "exact":
+        a = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    rp_signature(F.col("_v"), bits, seed + 101 * t).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        )
+        blocked = c.select("_id", "_v", F.explode(sigs).alias("_ts")).select(
+            "_id", "_v", "_ts.table", "_ts.sig"
+        )
+        a = blocked.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "table", "sig"
+        )
+        b = blocked.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "table", "sig"
+        )
+        pairs = (
+            a.join(b, ["table", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def dedup_embedding(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: keep the min-id representative of
+    each near-dup group (single-round star contraction, same policy as
+    ``minhash_dedup`` — adequate for small clusters; iterative
+    connected-components is the upgrade path for chained dup clusters)."""
+    pairs = embedding_neardup_pairs(
+        corpus, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, method=method, **lsh_kwargs,
+    )
+    rep = (
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_rep"))
+        .groupBy(id_col)
+        .agg(F.min("_rep").alias("_rep"))
+    )
+    drop = rep.filter(F.col("_rep") < F.col(id_col)).select(id_col)
+    return corpus.join(drop, on=id_col, how="left_anti")

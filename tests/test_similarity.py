@@ -90,3 +90,61 @@ def test_real_codec_is_stubbed(spark):
     media = multimodal.synth_media(spark, 2)
     with pytest.raises(NotImplementedError):
         multimodal.extract_image_features(media, use_real_codec=True)
+
+
+@pytest.fixture(scope="module")
+def dup_vectors(spark):
+    """Corpus with planted near-dup clusters: {0,1,10} and {2,12}."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),       # not a dup of anything
+        (4, [-1.0, 0.0, 0.0]),      # opposite of 0 — must NOT match
+        (10, [1.0, 0.0, 0.0]),      # exact dup of 0
+        (12, [0.0, 1.0, 0.0]),      # exact dup of 2
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_pairs_exact(spark, dup_vectors):
+    pairs = similarity.embedding_neardup_pairs(
+        dup_vectors, threshold=0.99, method="exact"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1), (0, 10), (1, 10), (2, 12)}
+    assert all(r["sim"] >= 0.99 for r in pairs)
+
+
+def test_dedup_embedding_exact_keeps_min_id(spark, dup_vectors):
+    kept = similarity.dedup_embedding(
+        dup_vectors, threshold=0.99, method="exact"
+    ).collect()
+    assert sorted(r["vec_id"] for r in kept) == [0, 2, 3, 4]
+
+
+def test_dedup_embedding_lsh_finds_exact_copies(spark, dup_vectors):
+    # identical vectors share every signature → LSH recall 1.0 for them
+    kept = similarity.dedup_embedding(
+        dup_vectors, threshold=0.999, method="lsh", bits=8, tables=4
+    ).collect()
+    ids = sorted(r["vec_id"] for r in kept)
+    assert 10 not in ids and 12 not in ids
+    assert {0, 2, 3, 4} <= set(ids)
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, dup_vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            dup_vectors, threshold=0.99, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            dup_vectors, threshold=0.99, method="lsh", bits=6, tables=8
+        ).collect()
+    }
+    assert lsh <= exact          # LSH never invents pairs (exact verify)
+    assert (0, 10) in lsh        # and always finds identical vectors
