@@ -749,6 +749,44 @@ def q_lake_point_scan(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time windowed aggregation (streaming surface, batch-checked)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_window(spark, sf_dir) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — the same
+    operator serves the watermarked streaming rollup (windows.py)."""
+    from synapse_etl_jobs_spark.streaming import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev, "ts", "1 hour",
+        {"n": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+        keys=["event_type"],
+    )
+
+
+def q_sliding_window(spark, sf_dir) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event in 2 windows)."""
+    from synapse_etl_jobs_spark.streaming import sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", {"n": F.count("*")},
+    )
+
+
+def q_session_window(spark, sf_dir) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (session end = last event + gap, Spark session_window semantics)."""
+    from synapse_etl_jobs_spark.streaming import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_agg(
+        ev, "ts", "30 minutes", {"n": F.count("*")}, keys=["user_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Remaining rows-only surface (LSH-dependent outputs)
 # ---------------------------------------------------------------------------
 
@@ -836,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
         "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_dedup_full": q_minhash_dedup_full,
     }
@@ -1107,5 +1148,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id <= 10
+        """,
+        "tumbling_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "sliding_window": """
+            WITH hits AS (
+              SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+                       AS window_start,
+                     ts
+              FROM events, unnest([0, 1]) AS t(k)
+              WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+                         - k * INTERVAL '30 minutes' + INTERVAL '1 hour'
+            )
+            SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+                   count(*) AS n
+            FROM hits GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            OR lag(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT min(ts) AS window_start,
+                   max(ts) + INTERVAL '30 minutes' AS window_end,
+                   user_id, count(*) AS n
+            FROM numbered GROUP BY user_id, session_id
         """,
     }

@@ -197,3 +197,30 @@ def test_time_travel(spark, events, tmp_table_path):
     t.merge(events.filter(F.col("seq") >= 2000), batch_id=1)
     old = LakeTable.load(spark, tmp_table_path, version=1)
     assert old.read().count() == v1_count
+
+
+def test_dedup_strategies_identical(spark, events):
+    """"agg", "semijoin" (broadcast and plain-join), and salted dedup all
+    produce the same winner set — including on exact-duplicate delivery
+    (the synth stream re-emits every 17th event verbatim)."""
+    from synapse_etl_jobs_spark.operators.dedup import (
+        dedup_lww, dedup_lww_salted, dedup_lww_semijoin,
+    )
+
+    base = dedup_lww(events, KEYS, "seq")
+    for variant in (
+        dedup_lww(events, KEYS, "seq", strategy="semijoin"),
+        dedup_lww_semijoin(events, KEYS, "seq", broadcast=False),
+        dedup_lww_salted(events, KEYS, "seq", salt_buckets=8),
+    ):
+        assert variant.exceptAll(base).isEmpty()
+        assert base.exceptAll(variant).isEmpty()
+
+
+def test_merge_dedup_strategy_param(spark, events, tmp_table_path):
+    """merge(dedup_strategy="agg") and the default semijoin path agree."""
+    t1 = LakeTable.create(spark, tmp_table_path + "_sj", SCHEMA, KEYS, num_buckets=4)
+    t1.merge(events, batch_id=0)
+    t2 = LakeTable.create(spark, tmp_table_path + "_agg", SCHEMA, KEYS, num_buckets=4)
+    t2.merge(events, batch_id=0, dedup_strategy="agg")
+    assert_states_equal(table_state(t1), table_state(t2))

@@ -7,7 +7,7 @@ local[32] — on the same input. Each level runs in its OWN subprocess
 efficiency = (T_small / T_big) / (cores_big / cores_small)... i.e.
 speedup / core-ratio.
 
-Usage: python tools/bench_scaling.py [n_events] [n_batches]
+Usage: python tools/bench_scaling.py [n_events] [n_batches] [n_cores] [4n_cores]
 Prints one JSON line; also meant to be pasted into BENCH/BASELINE.md.
 """
 
@@ -28,7 +28,14 @@ from synapse_etl_jobs_spark.sources.synth import flatten_events, synth_change_ev
 spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 n, out = int(sys.argv[1]), sys.argv[2]
+# Range-partition by seq into many small-ish files: a seq-window batch
+# then maps to (files/batches) ACTIVE scan tasks — with the default 32+32
+# union output files, one batch touched only ~8 contiguous files (one
+# row group each = one task each), capping scan parallelism at 8 threads
+# no matter the core count. ~250k events/file keeps every batch wide.
+n_files = max(64, n // 250_000)
 flatten_events(synth_change_events(spark, n, seed=42, n_keys=n//4)) \
+    .repartitionByRange(n_files, "seq") \
     .write.mode("overwrite").parquet(out)
 """
 
@@ -75,17 +82,19 @@ def run_level(cores: int, n: int, batches: int, src: str) -> dict:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    c_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    c_big = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * c_small
     src = os.path.join(os.environ.get("TMPDIR", "/tmp"), f"scale_events_{n}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         subprocess.run(
             [sys.executable, "-c", GEN.format(repo=HERE), str(n), src],
             check=True, capture_output=True, text=True, timeout=2400,
         )
-    small = run_level(8, n, batches, src)
-    big = run_level(32, n, batches, src)
+    small = run_level(c_small, n, batches, src)
+    big = run_level(c_big, n, batches, src)
     assert small["rows"] == big["rows"], "parallelism changed the result!"
     speedup = small["wall_sec"] / big["wall_sec"]
-    eff = speedup / (32 / 8)
+    eff = speedup / (c_big / c_small)
     print(json.dumps({
         "events": n, "batches": batches,
         "n_cores": small, "4n_cores": big,
