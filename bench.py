@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
 
 BENCH_QUERIES = [
     "cdc_final_state",
@@ -68,21 +68,28 @@ def run_cdc_replay(spark, n_events: int, n_batches: int, mode: str = "mor") -> d
             spark, os.path.join(tmp, "t"), schema,
             ["repo", "path", "commit"], num_buckets=int(CPUS), write_mode=mode,
         )
-        events = flatten_events(
-            synth_change_events(spark, n_events, seed=42, n_keys=n_events // 4)
-        )
-        events.persist()
-        try:
-            events.count()  # materialize the synthetic stream outside the clock
-            t0 = time.time()
-            driver = ReplayDriver(
-                table, batch_events=(n_events + n_batches - 1) // n_batches,
-                salt_buckets=None,
+        # The measured shape mirrors real ingest: events land as parquet
+        # files first (range-partitioned by seq so every batch window maps
+        # to many scan tasks — a single-row-group contiguous layout caps
+        # scan parallelism), then the replay tails them. Synthesis and the
+        # file write stay outside the clock.
+        src = os.path.join(tmp, "events_src")
+        n_files = max(64, n_events // 250_000)
+        (
+            flatten_events(
+                synth_change_events(spark, n_events, seed=42, n_keys=n_events // 4)
             )
-            driver.replay(events, seq_start=0, seq_end=n_events)
-            wall = time.time() - t0
-        finally:
-            events.unpersist()
+            .repartitionByRange(n_files, "seq")
+            .write.parquet(src)
+        )
+        events = spark.read.parquet(src)
+        t0 = time.time()
+        driver = ReplayDriver(
+            table, batch_events=(n_events + n_batches - 1) // n_batches,
+            salt_buckets=None,
+        )
+        driver.replay(events, seq_start=0, seq_end=n_events)
+        wall = time.time() - t0
         rows = table.read().count()
         return {
             "mode": mode,
