@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator: cross-batch incremental LWW filter
+(``applyInPandasWithState``).
+
+``stateful_lww_filter`` keeps, per key, the highest event sequence seen
+so far in Spark's managed state store, and emits only events that beat
+it. Downstream this shrinks the merge input under at-least-once
+re-delivery: a restarted upstream that replays a suffix produces zero
+emitted rows for already-applied events, so ``LakeTable.merge`` sees
+near-minimal batches. The lake's own LWW + batch markers stay the
+correctness backstop (this operator is an optimization, not a crutch —
+the table converges with or without it; state loss merely means some
+stale events travel to the merge and lose there).
+
+Semantics per micro-batch and key:
+- compute the batch's max seq per key;
+- if it exceeds the stored watermark, emit ALL of the key's batch rows
+  that exceed the stored watermark (the merge still wants every
+  candidate newer than the table might have) and advance the state;
+- stale/duplicate rows (seq ≤ stored watermark) are dropped.
+
+State is one long per key (bounded, no payload), optionally expired via
+processing-time timeout — after expiry a re-delivered stale event passes
+through and is absorbed by the table's LWW, so timeouts trade state size
+for downstream work, never correctness. Note: with a TTL, an
+``availableNow`` run stays alive until pending timeouts fire (Spark
+schedules extra micro-batches for expiry) — use TTL on continuous
+streams, omit it for one-shot replays.
+
+The reference has no stateful streaming at all (scheduled batch jobs +
+bookmarks, src/scripts/glue_jobs/glue_job.py:40-44); this is engine
+surface mandated by the Spark-first design (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def stateful_lww_filter(
+    stream_df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    *,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame → streaming DataFrame with stale/duplicate
+    events dropped using per-key high-watermark state. Output schema ==
+    input schema. Requires a streaming input (uses Spark's state store
+    via ``applyInPandasWithState``).
+    """
+    out_schema: StructType = stream_df.schema
+    state_schema = "max_seq long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        watermark = state.get[0] if state.exists else None
+        best = watermark
+        for pdf in pdfs:
+            if watermark is not None:
+                pdf = pdf[pdf[seq_col] > watermark]
+            if len(pdf):
+                m = int(pdf[seq_col].max())
+                best = m if best is None else max(best, m)
+                yield pdf
+        if best is not None and best != watermark:
+            state.update((best,))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
+    )
