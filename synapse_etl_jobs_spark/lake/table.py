@@ -595,6 +595,60 @@ class LakeTable:
         return {"applied": True, "table_version": new_version,
                 "files": sum(len(v) for v in written.values())}
 
+    def vacuum(self, *, retain_versions: int = 1) -> dict:
+        """Expire old table versions and delete unreferenced data files
+        (Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog).
+
+        Keeps the newest ``retain_versions`` manifests (always including
+        CURRENT); any data file referenced by none of them is deleted,
+        as are the expired manifest files. Time travel to expired
+        versions stops working — that is the point (bounded storage for
+        a continuously merging table; CoW rewrites and compactions leave
+        superseded files behind by design so readers of older snapshots
+        are never broken until the retention decision is made).
+        """
+        import glob
+
+        retain_versions = max(int(retain_versions), 1)
+        current = self.manifest.table_version
+        keep_from = current - retain_versions + 1
+        mdir = self._manifest_dir(self.path)
+
+        kept_files: set[str] = set()
+        expired_manifests: list[str] = []
+        for mp in sorted(glob.glob(os.path.join(mdir, "v*.json"))):
+            v = int(os.path.basename(mp)[1:-5])
+            if v >= keep_from:
+                with open(mp) as f:
+                    m = Manifest.from_json(f.read())
+                for entries in m.buckets.values():
+                    kept_files.update(e["path"] for e in entries)
+            else:
+                expired_manifests.append(mp)
+
+        deleted_data = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                fp = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and fp not in kept_files:
+                    os.remove(fp)
+                    deleted_data += 1
+        for mp in expired_manifests:
+            os.remove(mp)
+        # prune now-empty commit directories (rmdir refuses non-empty)
+        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+            if dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {
+            "retained_from_version": keep_from,
+            "expired_manifests": len(expired_manifests),
+            "deleted_data_files": deleted_data,
+        }
+
     # ---------------------------------------------------------------- lineage
 
     def _append_lineage(self, rows: list[dict[str, Any]]) -> None:

@@ -90,6 +90,94 @@ def extract_image_features(df: DataFrame, *, dim: int = 16, use_real_codec: bool
     return df.select("media_id", "data").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("rms", FloatType()),          # fake energy proxy
+        StructField("n_windows", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, *, window_bytes: int = 160, dim: int = 8,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """binary audio column → windowed feature vectors via mapInPandas.
+
+    Real impl: decode (ffmpeg/torchaudio), resample, log-mel per window.
+    Here the kernel treats the payload bytes as PCM-ish samples and emits
+    per-chunk byte statistics — deterministic, same batch shape.
+    """
+    if use_real_codec:
+        _require_codec("torchaudio")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_bytes": [], "rms": [],
+                    "n_windows": [], "features": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data or b"")
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float32) - 128.0
+                rows["media_id"].append(mid)
+                rows["n_bytes"].append(len(b))
+                rows["rms"].append(float(np.sqrt((arr ** 2).mean())) if len(arr) else 0.0)
+                rows["n_windows"].append(max(len(b) // window_bytes, 0))
+                rows["features"].append(_fake_features(b, dim))
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "data"
+    ).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 32, height: int = 32,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """binary image column → resized binary via mapInPandas.
+
+    Real impl: PIL decode → resize → re-encode inside the kernel. The
+    stand-in emits a deterministic byte payload of the target size
+    (repeating/truncating the source) so downstream plumbing (schemas,
+    size accounting, partition shape) is exercised for real.
+    """
+    if use_real_codec:
+        _require_codec("PIL")
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize(b):
+                b = bytes(b or b"\x00")
+                reps = (target + len(b) - 1) // len(b)
+                return (b * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "data": pdf["data"].map(_resize),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "data"
+    ).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """video rows → (media_id, frame_idx, frame_ts_ms, frame binary stub).
 

@@ -33,6 +33,20 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
+
+    # Executor-side Python workers must be able to import this package:
+    # pandas-UDF / mapInPandas kernels defined in our modules are
+    # cloudpickled BY REFERENCE, so the worker does `import
+    # synapse_etl_jobs_spark...`. A driver-side sys.path tweak does not
+    # reach workers — export PYTHONPATH before the JVM (and its worker
+    # daemon) starts. On a real cluster ship the package instead:
+    # `spark-submit --py-files synapse_etl_jobs_spark.zip`.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 

@@ -224,3 +224,48 @@ def test_merge_dedup_strategy_param(spark, events, tmp_table_path):
     t2 = LakeTable.create(spark, tmp_table_path + "_agg", SCHEMA, KEYS, num_buckets=4)
     t2.merge(events, batch_id=0, dedup_strategy="agg")
     assert_states_equal(table_state(t1), table_state(t2))
+
+
+def test_vacuum_expires_old_versions(spark, events, tmp_table_path):
+    """vacuum keeps the newest N versions' files, deletes superseded CoW
+    rewrites and expired manifests; current reads are unaffected and
+    time travel to expired versions fails."""
+    import glob
+    import os
+
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=4)
+    for i in range(3):
+        t.merge(events.filter(
+            (F.col("seq") >= i * 1300) & (F.col("seq") < (i + 1) * 1300)
+        ), batch_id=i)
+    before_files = len(glob.glob(os.path.join(tmp_table_path, "data", "**", "*.parquet"),
+                                 recursive=True))
+    state_before = table_state(t)
+
+    stats = t.vacuum(retain_versions=1)
+    assert stats["deleted_data_files"] > 0
+    assert stats["expired_manifests"] == 3  # v0..v2 gone, v3 kept
+    after_files = len(glob.glob(os.path.join(tmp_table_path, "data", "**", "*.parquet"),
+                                recursive=True))
+    assert after_files < before_files
+
+    # current snapshot unaffected (state identical), fresh load works
+    assert_states_equal(table_state(LakeTable.load(spark, tmp_table_path)), state_before)
+    # expired version is really gone
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, tmp_table_path, version=1)
+
+
+def test_vacuum_retains_mor_deltas(spark, events, tmp_table_path):
+    """In MoR mode every delta file is still referenced by the current
+    manifest — vacuum must delete nothing until compaction supersedes."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS,
+                         num_buckets=4, write_mode="mor")
+    t.merge(events.filter(F.col("seq") < 1000), batch_id=0)
+    t.merge(events.filter(F.col("seq") >= 1000), batch_id=1)
+    assert t.vacuum(retain_versions=1)["deleted_data_files"] == 0
+    state = table_state(t)
+    t.compact()
+    stats = t.vacuum(retain_versions=1)
+    assert stats["deleted_data_files"] > 0  # pre-compaction deltas expired
+    assert_states_equal(table_state(LakeTable.load(spark, tmp_table_path)), state)

@@ -148,3 +148,47 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, dup_vectors):
     }
     assert lsh <= exact          # LSH never invents pairs (exact verify)
     assert (0, 10) in lsh        # and always finds identical vectors
+
+
+def test_audio_features_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    out = multimodal.extract_audio_features(media, dim=4).collect()
+    n_audio = media.filter(F.col("kind") == "audio").count()
+    assert len(out) == n_audio > 0
+    for r in out:
+        assert r["n_bytes"] == 128  # sha512 hex payload cast to binary
+        assert r["rms"] > 0
+        assert len(r["features"]) == 4
+
+
+def test_resize_images_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    out = multimodal.resize_images(media, width=8, height=8).collect()
+    n_img = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_img > 0
+    assert all(len(r["data"]) == 64 for r in out)
+    # deterministic across runs
+    out2 = multimodal.resize_images(media, width=8, height=8).collect()
+    assert {r["media_id"]: bytes(r["data"]) for r in out} == \
+           {r["media_id"]: bytes(r["data"]) for r in out2}
+
+
+def test_video_frame_sampling_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert {r["media_id"] for r in got} == set(durations)
+    for r in got:
+        assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
+
+
+def test_audio_real_codec_is_stubbed(spark):
+    media = multimodal.synth_media(spark, 2)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_audio_features(media, use_real_codec=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, use_real_codec=True)

@@ -49,7 +49,30 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ann_bruteforce", ["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
     # embedding LSH dedup: blocked equi-join, no cartesian product
     ("embedding_dedup_lsh", [], ["CartesianProduct", "BatchEvalPython"]),
+    # event-time windows: hash aggregate over the window struct, no sort
+    ("tumbling_window", ["HashAggregate"], ["BatchEvalPython"]),
 ]
+
+
+# Non-entry plans audited directly (the merge hot path's dedup strategy)
+def _semijoin_plan_check(spark, sf_dir):
+    """The semijoin LWW dedup must plan: HashAggregate winner list (+
+    partial_max BEFORE its exchange) and a broadcast left-semi hash join
+    — never a sort-merge join or a full-payload sort aggregate."""
+    from pyspark.sql import functions as F
+
+    from synapse_etl_jobs_spark.operators.dedup import dedup_lww_semijoin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.col("event_id").alias("seq"),
+        F.col("event_type"), F.col("value"),
+    )
+    txt = plan_text(dedup_lww_semijoin(ev, ["user_id"], "seq"))
+    required = ["partial_max(seq", "BroadcastHashJoin", "LeftSemi"]
+    forbidden = ["SortMergeJoin", "BatchEvalPython"]
+    problems = [f"MISSING required plan fragment: {s!r}" for s in required if s not in txt]
+    problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
+    return "dedup_lww_semijoin", txt, problems
 
 
 def plan_text(df) -> str:
@@ -70,15 +93,15 @@ def main() -> None:
     qs = entry_mod.queries()
 
     sections, failures = [], []
+    results = []
     for name, required, forbidden in CHECKS:
         txt = plan_text(qs[name](spark, sf_dir))
-        problems = []
-        for s in required:
-            if s not in txt:
-                problems.append(f"MISSING required plan fragment: {s!r}")
-        for s in forbidden:
-            if s in txt:
-                problems.append(f"FORBIDDEN plan fragment present: {s!r}")
+        problems = [f"MISSING required plan fragment: {s!r}" for s in required if s not in txt]
+        problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
+        results.append((name, txt, problems))
+    results.append(_semijoin_plan_check(spark, sf_dir))
+
+    for name, txt, problems in results:
         status = "OK" if not problems else "FAIL"
         if problems:
             failures.append((name, problems))
