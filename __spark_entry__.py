@@ -798,6 +798,33 @@ def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
     return simhash_near_pairs(d, max_hamming=8, blocks=4)
 
 
+def q_connected_components(spark, sf_dir) -> DataFrame:
+    """Iterative Hash-Min connected components over deterministic chain
+    pairs built from doc ids — min-id component per node. Oracle: DuckDB
+    recursive CTE (transitive reachability)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    maxid = d.agg(F.max("doc_id")).collect()[0][0]
+    pairs = (
+        d.filter(F.pmod("doc_id", F.lit(5)) < 2)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .filter(F.col("id_b") <= maxid)
+    )
+    return connected_components(pairs)
+
+
+def q_minhash_dedup_cc(spark, sf_dir) -> DataFrame:
+    """Near-dup removal with exact transitive clustering (LSH → Jaccard
+    verify → iterative connected components; rows-only check)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import minhash_dedup_cc
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_cc(
+        d, threshold=0.6, shingle_k=5, num_hashes=32, bands=8
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
     """Full near-dup removal pipeline: LSH candidates → exact-Jaccard
     verify → star-contraction representative (rows-only check)."""
@@ -879,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_dedup_full": q_minhash_dedup_full,
+        "connected_components": q_connected_components,
+        "minhash_dedup_cc": q_minhash_dedup_cc,
     }
 
 
@@ -1148,6 +1177,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id <= 10
+        """,
+        "connected_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              WHERE doc_id % 5 < 2
+                AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+            ),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT u AS n FROM sym UNION SELECT v FROM sym),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
+            )
+            SELECT n AS node, min(m) AS component FROM reach GROUP BY n
         """,
         "tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

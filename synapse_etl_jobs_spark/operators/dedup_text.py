@@ -279,3 +279,99 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact connected components over an undirected pair list —
+    (node, component) where component = min node id of the cluster.
+
+    Hash-Min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds", ICDE'13): every
+    node starts labeled with itself; each round every node takes the min
+    label in its closed neighborhood. Converges in O(graph diameter)
+    rounds — near-dup clusters are shallow (a chain A~B~C has diameter
+    2), so this terminates in a handful of rounds; ``max_iter`` bounds
+    adversarial chains. Each round is one join + one aggregate over the
+    edge list; labels are persisted per round so the plan lineage stays
+    flat (the standard iterative-Spark pattern). Input columns:
+    ``id_a``, ``id_b``.
+
+    This is the scale-out upgrade over ``minhash_dedup``'s single-round
+    star contraction, which under-merges CHAINED duplicate clusters.
+    """
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("u"),
+                     F.col("id_b").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # symmetric closure once; reused every round
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        # min neighbor label per node
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed:  # no label moved -> converged
+            break
+    sym.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup removal with EXACT transitive clustering: LSH candidates
+    → exact-Jaccard verify → iterative connected components → keep each
+    cluster's min-id representative. Unlike ``minhash_dedup`` this
+    removes every member of a chained cluster (A~B~C), not just direct
+    neighbors of a representative."""
+    cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    verified = ngram_jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col, k=lsh_kwargs.get("shingle_k", 5)
+    ).filter(F.col("jaccard") >= threshold)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -269,3 +269,26 @@ def test_vacuum_retains_mor_deltas(spark, events, tmp_table_path):
     stats = t.vacuum(retain_versions=1)
     assert stats["deleted_data_files"] > 0  # pre-compaction deltas expired
     assert_states_equal(table_state(LakeTable.load(spark, tmp_table_path)), state)
+
+
+def test_extreme_skew_correctness(spark, tmp_table_path):
+    """SURVEY §5 test 5: one hot repo owns ~half the events — replay
+    correctness is unchanged through both the semijoin (default) and the
+    salted-agg dedup paths."""
+    ev = flatten_events(
+        synth_change_events(spark, 6000, seed=13, n_keys=1500, skew_exp=8.0)
+    ).persist()
+    try:
+        top = (ev.groupBy("repo").count().orderBy(F.col("count").desc()).first())
+        assert top["count"] / 6000 > 0.4  # genuinely pathological skew
+
+        oracle = pandas_oracle(ev.toPandas())
+        t1 = LakeTable.create(spark, tmp_table_path + "_sj", SCHEMA, KEYS, num_buckets=4)
+        t1.merge(ev, batch_id=0)  # semijoin default
+        assert_states_equal(table_state(t1), oracle)
+
+        t2 = LakeTable.create(spark, tmp_table_path + "_salt", SCHEMA, KEYS, num_buckets=4)
+        t2.merge(ev, batch_id=0, salt_buckets=8)  # salted two-phase agg
+        assert_states_equal(table_state(t2), oracle)
+    finally:
+        ev.unpersist()

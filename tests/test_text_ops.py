@@ -120,3 +120,46 @@ def test_simhash_near_pairs(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from synapse_etl_jobs_spark.operators.dedup_text import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, isolated edge 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_cc_removes_chained_cluster(spark):
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_dedup, minhash_dedup_cc,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base + "alpha beta"),            # near-dup of 1
+        (3, base + "alpha beta gamma delta"), # near-dup of 2, weaker vs 1
+        (50, "completely different text about spark shuffles and joins " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_cc = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_cc(
+            df, threshold=0.75, shingle_k=5, num_hashes=64, bands=16
+        ).collect()
+    )
+    # transitive closure: the whole chain collapses to doc 1
+    assert kept_cc == [1, 50]
+    # the one-round variant keeps at least as many docs (under-merges chains)
+    kept_star = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            df, threshold=0.75, shingle_k=5, num_hashes=64, bands=16
+        ).collect()
+    )
+    assert set(kept_cc) <= set(kept_star)
