@@ -174,6 +174,19 @@ def minhash_lsh_candidates(
     )
 
 
+def _verified_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, threshold: float, **lsh_kwargs
+) -> DataFrame:
+    """LSH candidate pairs filtered by exact Jaccard ≥ threshold — the
+    shared front half of both near-dup removal pipelines. Verification
+    shingles reuse the LSH ``shingle_k`` so candidate generation and
+    verification measure the same similarity."""
+    cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    return ngram_jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col, k=lsh_kwargs.get("shingle_k", 5)
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_dedup(
     df: DataFrame,
     *,
@@ -186,14 +199,12 @@ def minhash_dedup(
     connected grouping via min-id propagation → keep group representative.
 
     Grouping uses a single-pass "union by min id" (greedy star joins),
-    adequate for dedup where clusters are small; a full iterative
-    connected-components (large-star/small-star, Kiveris et al.) is the
-    scale-out upgrade path.
+    adequate for dedup where clusters are small; ``minhash_dedup_cc``
+    (iterative connected components) is the exact-transitive upgrade.
     """
-    cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
-    verified = ngram_jaccard_pairs(
-        df, cands, id_col=id_col, text_col=text_col, k=lsh_kwargs.get("shingle_k", 5)
-    ).filter(F.col("jaccard") >= threshold)
+    verified = _verified_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
+    )
     # min representative per member (star contraction, one round)
     rep = (
         verified.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_rep"))
@@ -285,43 +296,51 @@ def connected_components(
     pairs: DataFrame,
     *,
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Exact connected components over an undirected pair list —
-    (node, component) where component = min node id of the cluster.
+    (node, component) where component = min node id of the cluster
+    under the id type's natural ordering (numeric ids, string UUIDs,
+    etc. — ids are never cast).
 
     Hash-Min label propagation (Rastogi et al., "Finding Connected
     Components in Map-Reduce in Logarithmic Rounds", ICDE'13): every
     node starts labeled with itself; each round every node takes the min
     label in its closed neighborhood. Converges in O(graph diameter)
     rounds — near-dup clusters are shallow (a chain A~B~C has diameter
-    2), so this terminates in a handful of rounds; ``max_iter`` bounds
-    adversarial chains. Each round is one join + one aggregate over the
-    edge list; labels are persisted per round so the plan lineage stays
-    flat (the standard iterative-Spark pattern). Input columns:
-    ``id_a``, ``id_b``.
+    2). If ``max_iter`` rounds pass without convergence the labels are
+    NOT component minima: ``on_nonconverged="raise"`` (default) raises,
+    ``"warn"`` emits a warning and returns the partial labels.
+
+    Each round's labels are eagerly ``localCheckpoint``-ed: this
+    materializes the round AND truncates the plan lineage, so round N
+    never re-executes rounds 1..N-1 (checkpoint blocks are released by
+    Spark's ContextCleaner when the caller drops the reference; on a
+    cluster where executor loss matters, swap in reliable
+    ``checkpoint()`` with a checkpoint dir). Input columns: ``id_a``,
+    ``id_b``.
 
     This is the scale-out upgrade over ``minhash_dedup``'s single-round
     star contraction, which under-merges CHAINED duplicate clusters.
     """
     edges = (
-        pairs.select(F.col("id_a").cast("long").alias("u"),
-                     F.col("id_b").cast("long").alias("v"))
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     # symmetric closure once; reused every round
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
 
+    converged = False
     for _ in range(max_iter):
         # min neighbor label per node
         nbr_min = (
@@ -337,19 +356,28 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
-        changed = (
+        changed = not (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .isEmpty()
         )
-        labels.unpersist()
         labels = new_labels
-        if changed:  # no label moved -> converged
+        if not changed:
+            converged = True
             break
-    sym.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels are not final"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 
@@ -366,10 +394,9 @@ def minhash_dedup_cc(
     cluster's min-id representative. Unlike ``minhash_dedup`` this
     removes every member of a chained cluster (A~B~C), not just direct
     neighbors of a representative."""
-    cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
-    verified = ngram_jaccard_pairs(
-        df, cands, id_col=id_col, text_col=text_col, k=lsh_kwargs.get("shingle_k", 5)
-    ).filter(F.col("jaccard") >= threshold)
+    verified = _verified_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
+    )
     comps = connected_components(verified.select("id_a", "id_b"))
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

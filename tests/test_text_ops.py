@@ -1,6 +1,7 @@
 """Text analysis + fuzzy dedup operators."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from synapse_etl_jobs_spark.operators import dedup_text, text
 
@@ -163,3 +164,32 @@ def test_minhash_dedup_cc_removes_chained_cluster(spark):
         ).collect()
     )
     assert set(kept_cc) <= set(kept_star)
+
+
+def test_connected_components_string_ids(spark):
+    """Ids are never cast — string UUID-ish ids cluster by lexicographic min."""
+    from synapse_etl_jobs_spark.operators.dedup_text import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "doc-x": "doc-x", "doc-y": "doc-x"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from synapse_etl_jobs_spark.operators.dedup_text import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # warn mode returns partial labels instead
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=2, on_nonconverged="warn")
+        assert out.count() == 13
+        assert any("did not converge" in str(x.message) for x in w)
