@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from collections.abc import Sequence
+from collections.abc import Iterable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -99,6 +99,18 @@ def _footer_stats(files: list[str], seq_col: str) -> dict[str, Any]:
             seq_min = st.min if seq_min is None else min(seq_min, st.min)
             seq_max = st.max if seq_max is None else max(seq_max, st.max)
     return {"rows": rows, "bytes": nbytes, "seq_min": seq_min, "seq_max": seq_max}
+
+
+def _sum_stats(stats: "Iterable[dict[str, Any]]") -> dict[str, Any]:
+    """Aggregate per-file footer stats (so each footer is parsed once)."""
+    out: dict[str, Any] = {"rows": 0, "bytes": 0, "seq_min": None, "seq_max": None}
+    for s in stats:
+        out["rows"] += s["rows"]
+        out["bytes"] += s["bytes"]
+        for k, pick in (("seq_min", min), ("seq_max", max)):
+            if s[k] is not None:
+                out[k] = s[k] if out[k] is None else pick(out[k], s[k])
+    return out
 
 
 @dataclass
@@ -307,11 +319,20 @@ class LakeTable:
         the table)."""
         import pandas as pd
 
+        current = self.manifest.current_schema()
         probe = self.spark.createDataFrame(
             pd.DataFrame(
                 {c: [kv[i] for kv in key_values]
                  for i, c in enumerate(self.manifest.bucket_cols)}
             )
+        )
+        # cast the probe to the TABLE's column types before hashing —
+        # xxhash64 is type-sensitive (hashing 5 as long != as int), so a
+        # pandas-inferred type would compute the wrong bucket and
+        # silently prune away the rows being looked up
+        probe = probe.select(
+            *[F.col(c).cast(current[c].dataType).alias(c)
+              for c in self.manifest.bucket_cols]
         )
         wanted = {
             r[0]
@@ -447,11 +468,16 @@ class LakeTable:
         self._salted_bucket_write(staged_df, stage_dir)
         staged = _list_parquet_files(stage_dir)
 
-        # affected buckets + lineage stats from parquet footers (no 2nd pass)
+        # affected buckets + lineage stats from parquet footers; each
+        # staged footer is parsed ONCE (driver-side serial path) and the
+        # per-file stats reused by the commit loop below in mor mode
         affected = sorted(staged)
-        src_stats = _footer_stats(
-            [fp for fps in staged.values() for fp in fps], SEQ_COL
-        )
+        staged_file_stats = {
+            fp: _footer_stats([fp], SEQ_COL)
+            for fps in staged.values()
+            for fp in fps
+        }
+        src_stats = _sum_stats(staged_file_stats.values())
 
         if mode == "cow" and affected:
             # second job: fold staged deltas into the affected buckets'
@@ -464,12 +490,19 @@ class LakeTable:
             stored_entries = [
                 e for b in affected for e in m.buckets.get(str(b), [])
             ]
-            combined = self._read_files(stored_entries + staged_entries)
-            merged = dedup_lww(combined, m.key_cols, SEQ_COL).withColumn(
-                BUCKET_COL, self._bucket_expr()
-            )
-            self._salted_bucket_write(merged, commit_dir, min_tasks=len(affected))
-            written = _list_parquet_files(commit_dir)
+            try:
+                combined = self._read_files(stored_entries + staged_entries)
+                merged = dedup_lww(combined, m.key_cols, SEQ_COL).withColumn(
+                    BUCKET_COL, self._bucket_expr()
+                )
+                self._salted_bucket_write(merged, commit_dir, min_tasks=len(affected))
+                written = _list_parquet_files(commit_dir)
+            except BaseException:
+                # a failed fold must not orphan the multi-GB staging dir
+                import shutil
+
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                raise
         else:
             written = staged
 
@@ -482,7 +515,7 @@ class LakeTable:
             for fp in written.get(b, []):
                 entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
                 entries.append(entry)
-                fstats = _footer_stats([fp], SEQ_COL)
+                fstats = staged_file_stats.get(fp) or _footer_stats([fp], SEQ_COL)
                 files_written += 1
                 rows_written += fstats["rows"]
                 bytes_written += fstats["bytes"]
@@ -542,9 +575,12 @@ class LakeTable:
             "mode": mode,
         }
 
-    def compact(self, *, drop_tombstones: bool = True, files_per_bucket: int = 1) -> dict:
+    def compact(self, *, drop_tombstones: bool = True) -> dict:
         """Maintenance rewrite (Iceberg ``rewrite_data_files`` analog):
-        coalesce each bucket's files and optionally GC tombstones.
+        coalesce each bucket's files and optionally GC tombstones. The
+        rewrite goes through the salted bucket write, so a hot bucket is
+        rewritten by ``write_salt`` tasks (≤ ``write_salt`` output files
+        per bucket) instead of one straggler.
 
         Tombstones are safe to drop once no replay can deliver events older
         than the tombstone's seq — i.e. after the stream's checkpoint has
@@ -565,11 +601,7 @@ class LakeTable:
         commit_dir = os.path.join(
             self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
         )
-        (
-            df.repartition(len(buckets) * files_per_bucket, F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .parquet(commit_dir)
-        )
+        self._salted_bucket_write(df, commit_dir, min_tasks=len(buckets))
         written = _list_parquet_files(commit_dir)
         new_buckets = {
             str(b): [
@@ -614,6 +646,11 @@ class LakeTable:
         keep_from = current - retain_versions + 1
         mdir = self._manifest_dir(self.path)
 
+        # compare REAL paths: manifests may record the table path under a
+        # different spelling (relative vs absolute, symlinked mount) than
+        # this process sees — raw string comparison would then classify
+        # every live file as orphaned and delete the table
+        norm = lambda p: os.path.realpath(os.path.abspath(p))  # noqa: E731
         kept_files: set[str] = set()
         expired_manifests: list[str] = []
         for mp in sorted(glob.glob(os.path.join(mdir, "v*.json"))):
@@ -622,20 +659,40 @@ class LakeTable:
                 with open(mp) as f:
                     m = Manifest.from_json(f.read())
                 for entries in m.buckets.values():
-                    kept_files.update(e["path"] for e in entries)
+                    kept_files.update(norm(e["path"]) for e in entries)
             else:
                 expired_manifests.append(mp)
+
+        # safety valve: if the CURRENT manifest references files we cannot
+        # resolve on disk, the path spelling is inconsistent — abort
+        # rather than treat live data as orphaned
+        missing = [p for p in kept_files if not os.path.exists(p)]
+        if missing:
+            raise RuntimeError(
+                "vacuum aborted: current manifests reference files not "
+                f"resolvable from this process (e.g. {missing[0]!r}); "
+                "load the table under the path spelling it was written with"
+            )
 
         deleted_data = 0
         data_root = os.path.join(self.path, "data")
         for dirpath, _dirs, files in os.walk(data_root):
             for fn in files:
                 fp = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and fp not in kept_files:
+                if fn.endswith(".parquet") and norm(fp) not in kept_files:
                     os.remove(fp)
                     deleted_data += 1
         for mp in expired_manifests:
             os.remove(mp)
+        # failed CoW merges may leave orphaned staging dirs; reclaim them
+        # (safe: staging is only live DURING a merge, and the table is
+        # single-writer — vacuum is a maintenance call, not concurrent)
+        staging_root = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging_root):
+            import shutil
+
+            for d in os.listdir(staging_root):
+                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
         # prune now-empty commit directories (rmdir refuses non-empty)
         for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
             if dirpath != data_root:
@@ -651,12 +708,13 @@ class LakeTable:
 
     # ---------------------------------------------------------------- lineage
 
-    def _append_lineage(self, rows: list[dict[str, Any]]) -> None:
+    @staticmethod
+    def _lineage_schema() -> StructType:
         from pyspark.sql.types import (
             IntegerType, LongType, StringType, StructField,
         )
 
-        schema = StructType(
+        return StructType(
             [
                 StructField("table_version", LongType()),
                 StructField("stream_id", StringType()),
@@ -670,9 +728,12 @@ class LakeTable:
                 StructField("source_events", LongType()),
             ]
         )
+
+    def _append_lineage(self, rows: list[dict[str, Any]]) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        schema = self._lineage_schema()
         # direct driver-side parquet append — lineage rows are a handful
         # per commit, so a Spark job here is pure serial overhead on the
         # ingest path (and with a python-list DataFrame it even spins up
@@ -695,6 +756,10 @@ class LakeTable:
 
     def lineage(self) -> DataFrame:
         p = os.path.join(self.path, "_lineage")
+        if not os.path.isdir(p):
+            # no merge has written lineage yet (fresh table, or
+            # collect_lineage=False) — zero rows, not an error
+            return self.spark.createDataFrame([], self._lineage_schema())
         return self.spark.read.parquet(p)
 
     # --------------------------------------------------------------- evolve
@@ -711,6 +776,16 @@ class LakeTable:
         m = self.manifest
         current = m.current_schema()
         renames = renames or {}
+        existing = set(current.fieldNames())
+        for src, dst in renames.items():
+            if src not in existing:
+                raise ValueError(f"rename source {src!r} not in schema")
+            if dst in existing - {src}:
+                raise ValueError(
+                    f"rename target {dst!r} collides with an existing column"
+                )
+        if len(set(renames.values())) != len(renames):
+            raise ValueError("two columns renamed to the same target name")
 
         new_schema = StructType()
         for f in current.fields:

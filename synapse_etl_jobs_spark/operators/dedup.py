@@ -116,21 +116,35 @@ def dedup_lww_semijoin(
     aggregate. False positives cost a few spare rows in the residual
     aggregate, never a wrong winner.
     """
+    # max(seq) ignores nulls, so a key whose EVERY seq is null gets a
+    # null winner entry; join equality on seq must therefore be
+    # null-safe (<=>), or such keys would silently vanish — the "agg"
+    # strategy keeps one row for them, and the strategies must stay
+    # bit-identical even on malformed input.
     mx = df.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
     if join_on_hash:
         kh = F.xxhash64(*[F.col(k) for k in keys])
-        build = mx.select(kh.alias("_kh"), F.col(seq_col))
+        build = mx.select(kh.alias("_kh"), F.col(seq_col).alias("_mseq"))
         if broadcast:
             build = F.broadcast(build)
-        cand = (
-            df.withColumn("_kh", kh)
-            .join(build, ["_kh", seq_col], "leftsemi")
-            .drop("_kh")
-        )
+        probe = df.withColumn("_kh", kh)
+        cand = probe.join(
+            build,
+            (probe["_kh"] == build["_kh"])
+            & probe[seq_col].eqNullSafe(build["_mseq"]),
+            "leftsemi",
+        ).drop("_kh")
     else:
+        build = mx.select(
+            *[F.col(k).alias(f"_b_{k}") for k in keys],
+            F.col(seq_col).alias("_mseq"),
+        )
         if broadcast:
-            mx = F.broadcast(mx)
-        cand = df.join(mx, [*keys, seq_col], "leftsemi")
+            build = F.broadcast(build)
+        cond = df[seq_col].eqNullSafe(build["_mseq"])
+        for k in keys:
+            cond = cond & df[k].eqNullSafe(build[f"_b_{k}"])
+        cand = df.join(build, cond, "leftsemi")
     payload = _payload_cols(df, keys)
     agg = _lww_agg(payload, seq_col)
     out = cand.groupBy(*keys).agg(agg)

@@ -60,8 +60,27 @@ class ReplayDriver:
             seq_end = int(seq_end) + 1
         stats = []
         b = self.batch_events
+        # ONE cheap pre-pass finds the non-empty seq windows (column-pruned
+        # scan + hash aggregate). A sparse seq space — e.g. epoch-millis
+        # sequences — would otherwise commit a new table version + marker
+        # per EMPTY window, bloating the manifest chain with no-op
+        # versions. Deterministic across restarts: the same events yield
+        # the same non-empty window set, so markers line up.
+        nonempty = {
+            int(r[0])
+            for r in events.filter(
+                (F.col(self.seq_col) >= seq_start) & (F.col(self.seq_col) < seq_end)
+            )
+            .select(F.floor(F.col(self.seq_col) / b).alias("w"))
+            .distinct()
+            .collect()
+        }
         for batch_id in range(seq_start // b, (seq_end + b - 1) // b):
             lo, hi = batch_id * b, (batch_id + 1) * b
+            if batch_id not in nonempty:
+                stats.append({"applied": False, "batch_id": batch_id,
+                              "reason": "empty_window"})
+                continue
             if self.table.is_batch_applied(self.stream_id, batch_id):
                 stats.append({"applied": False, "batch_id": batch_id,
                               "reason": "batch_already_applied"})

@@ -26,10 +26,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _apply_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+def _windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_col: Column,
+    aggs: Mapping[str, Column],
+    keys: list[str] | None,
+    watermark: str | None,
+) -> DataFrame:
+    """Shared body: optional stream watermark → groupBy(window, keys) →
+    flatten the window struct to ``window_start`` / ``window_end`` so
+    results are plain-SQL comparable."""
     if watermark and df.isStreaming:
-        return df.withWatermark(ts_col, watermark)
-    return df
+        df = df.withWatermark(ts_col, watermark)
+    grouped = df.groupBy(window_col.alias("_w"), *(keys or [])).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return grouped.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
 
 
 def tumbling_agg(
@@ -42,18 +60,9 @@ def tumbling_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Non-overlapping event-time windows (``F.window``): one row per
-    (window, keys). Output flattens the window struct to
-    ``window_start`` / ``window_end`` so results are plain-SQL comparable.
-    """
-    src = _apply_watermark(df, ts_col, watermark)
-    grouped = src.groupBy(
-        F.window(F.col(ts_col), duration).alias("_w"), *(keys or [])
-    ).agg(*[c.alias(n) for n, c in aggs.items()])
-    return grouped.select(
-        F.col("_w.start").alias("window_start"),
-        F.col("_w.end").alias("window_end"),
-        *(keys or []),
-        *aggs.keys(),
+    (window, keys)."""
+    return _windowed_agg(
+        df, ts_col, F.window(F.col(ts_col), duration), aggs, keys, watermark
     )
 
 
@@ -68,15 +77,8 @@ def sliding_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Overlapping windows: each event lands in duration/slide windows."""
-    src = _apply_watermark(df, ts_col, watermark)
-    grouped = src.groupBy(
-        F.window(F.col(ts_col), duration, slide).alias("_w"), *(keys or [])
-    ).agg(*[c.alias(n) for n, c in aggs.items()])
-    return grouped.select(
-        F.col("_w.start").alias("window_start"),
-        F.col("_w.end").alias("window_end"),
-        *(keys or []),
-        *aggs.keys(),
+    return _windowed_agg(
+        df, ts_col, F.window(F.col(ts_col), duration, slide), aggs, keys, watermark
     )
 
 
@@ -92,13 +94,6 @@ def session_agg(
     """Session windows (``F.session_window``): a session closes after
     ``gap`` of event-time silence per key. Streaming requires a watermark
     (state must expire); batch computes exact sessions."""
-    src = _apply_watermark(df, ts_col, watermark)
-    grouped = src.groupBy(
-        F.session_window(F.col(ts_col), gap).alias("_w"), *(keys or [])
-    ).agg(*[c.alias(n) for n, c in aggs.items()])
-    return grouped.select(
-        F.col("_w.start").alias("window_start"),
-        F.col("_w.end").alias("window_end"),
-        *(keys or []),
-        *aggs.keys(),
+    return _windowed_agg(
+        df, ts_col, F.session_window(F.col(ts_col), gap), aggs, keys, watermark
     )

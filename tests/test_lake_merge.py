@@ -326,3 +326,86 @@ def test_nested_payload_columns(spark, tmp_table_path):
     assert set(rows) == {"a.py"}
     assert rows["a.py"]["meta"]["stars"] == 6
     assert rows["a.py"]["meta"]["topics"] == ["etl", "lake"]
+
+
+def test_scan_keys_int_bucket_column(spark, tmp_table_path):
+    """Probe values must be hashed with the TABLE's column type — an
+    IntegerType bucket column probed via pandas-inferred int64 would
+    compute a different xxhash64 bucket and silently miss rows."""
+    from pyspark.sql.types import StructType as ST
+
+    schema = ST().add("id", "integer").add("v", "string")
+    t = LakeTable.create(spark, tmp_table_path, schema, ["id"], num_buckets=8)
+    t.merge(spark.createDataFrame(
+        [("INSERT", i, i, f"v{i}") for i in range(50)],
+        "op string, seq long, id int, v string"), batch_id=0)
+    got = {r["id"]: r["v"] for r in t.scan_keys([(7,), (23,)]).collect()
+           if r["id"] in (7, 23)}
+    assert got == {7: "v7", 23: "v23"}
+
+
+def test_lineage_empty_before_first_merge(spark, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    assert t.lineage().count() == 0
+
+
+def test_evolve_rename_collision_rejected(spark, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    with pytest.raises(ValueError, match="collides"):
+        t.evolve_schema(renames={"lang": "content"})
+    with pytest.raises(ValueError, match="same target"):
+        t.evolve_schema(renames={"lang": "x", "content": "x"})
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_schema(renames={"nope": "x"})
+
+
+def test_sparse_seq_replay_skips_empty_windows(spark, tmp_table_path):
+    """A sparse seq space (e.g. epoch-ms sequences) must not commit a
+    table version per empty window."""
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ddl = ("op string, seq long, repo string, path string, commit string, "
+           "lang string, content string")
+    ev = spark.createDataFrame([
+        ("INSERT", 5, "r", "a.py", "c", "python", "v1"),
+        ("INSERT", 10_000_007, "r", "b.py", "c", "python", "v2"),
+    ], ddl)
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    stats = ReplayDriver(t, batch_events=1000).replay(ev)
+    applied = [s for s in stats if s.get("applied")]
+    empty = [s for s in stats if s.get("reason") == "empty_window"]
+    assert len(applied) == 2
+    assert len(empty) == 10_000 - 1
+    assert t.manifest.table_version == 2  # one commit per NON-empty window
+    assert t.read().count() == 2
+
+
+def test_vacuum_reclaims_orphaned_staging(spark, tmp_table_path):
+    import os
+
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("INSERT", 1, "r", "a.py", "c", "python", "v")],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string"), batch_id=0)
+    orphan = os.path.join(tmp_table_path, "_staging", "s_dead")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+    t.vacuum()
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 1
+
+
+def test_dedup_semijoin_null_seq_keys_survive(spark):
+    """A key whose every seq is null must not vanish from the semijoin
+    strategy (null-safe join) — strategies stay aligned on bad input."""
+    from synapse_etl_jobs_spark.operators.dedup import dedup_lww, dedup_lww_semijoin
+
+    ddl = "k string, seq long, v string"
+    df = spark.createDataFrame(
+        [("a", None, "a_null"), ("b", 1, "b1"), ("b", None, "b_null")], ddl)
+    agg = {(r["k"], r["v"]) for r in dedup_lww(df, ["k"], "seq").collect()}
+    sj = {(r["k"], r["v"]) for r in dedup_lww_semijoin(df, ["k"], "seq").collect()}
+    assert agg == sj
+    assert ("a", "a_null") in sj       # all-null key kept
+    assert ("b", "b1") in sj           # non-null seq beats null
