@@ -795,7 +795,8 @@ def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.operators.dedup_text import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=8, blocks=4)
+    # blocks must exceed max_hamming for the pigeonhole guarantee
+    return simhash_near_pairs(d, max_hamming=8, blocks=16)
 
 
 def q_connected_components(spark, sf_dir) -> DataFrame:
@@ -918,12 +919,18 @@ _LANG_SCORE = (
 
 
 def _lang_scores_sql() -> dict[str, str]:
-    from synapse_etl_jobs_spark.operators.text import LANG_MARKERS
+    from synapse_etl_jobs_spark.operators.text import LANG_MARKERS, _is_char_markers
 
     out = {}
     for lang, words in LANG_MARKERS.items():
-        wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
-        out[lang] = _LANG_SCORE.format(toks=_TOKENS, words=wl)
+        if _is_char_markers(words):
+            # character-occurrence scoring (mirrors language_scores)
+            out[lang] = " + ".join(
+                f"(length(text) - length(replace(text, '{w}', '')))" for w in words
+            )
+        else:
+            wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+            out[lang] = _LANG_SCORE.format(toks=_TOKENS, words=wl)
     return out
 
 
@@ -981,7 +988,7 @@ def oracle_sql() -> dict[str, str]:
                      min(epoch_ms(ts)) OVER (PARTITION BY user_id) AS created_ms
               FROM events
             )
-            SELECT CASE WHEN changed_ms - created_ms > 1000 THEN 'UPDATE'
+            SELECT CASE WHEN changed_ms - created_ms >= 1000 THEN 'UPDATE'
                         ELSE 'CREATE' END AS change_type,
                    count(*) AS n
             FROM d GROUP BY 1

@@ -30,12 +30,17 @@ def syn_id_string_to_int(c) -> Column:
     """Parse ``syn123`` / ``123`` / ``syn123.4`` → 123L; garbage/None → null.
 
     Semantics pinned by reference tests (tests/test_utils.py:7-37):
-    leading/trailing whitespace is stripped; empty/blank → null; values up
-    to Long.MAX_VALUE parse exactly.
+    leading/trailing whitespace is stripped (ALL whitespace, matching
+    Python ``str.strip()`` — ``F.trim`` only strips spaces); empty/blank
+    → null; values up to Long.MAX_VALUE parse exactly; digit strings
+    beyond Long.MAX → null via ``try_cast`` (a plain cast aborts the job
+    under ANSI mode, the reference returns None).
     """
-    trimmed = F.trim(_col(c))
+    trimmed = F.regexp_replace(_col(c), r"^\s+|\s+$", "")
     digits = F.regexp_extract(trimmed, r"^(?:syn)?(\d+)(?:\.\d+)?$", 1)
-    return F.when(digits != "", digits.cast("long")).otherwise(F.lit(None).cast("long"))
+    return F.when(digits != "", digits.try_cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
 
 
 def ms_to_partition_date(c) -> Column:
@@ -89,18 +94,24 @@ def filename_to_date(c=None) -> Column:
     S3 key layout.
     """
     col = F.input_file_name() if c is None else _col(c)
-    return F.to_date(F.regexp_extract(col, r"/([0-9]{4}-[0-9]{2}-[0-9]{2})/[^/]*$", 1))
+    d = F.regexp_extract(col, r"/([0-9]{4}-[0-9]{2}-[0-9]{2})/[^/]*$", 1)
+    # non-matching paths must yield null, not abort the scan: to_date('')
+    # raises under ANSI mode (the Spark 4 default)
+    return F.when(d != "", F.to_date(d)).otherwise(F.lit(None).cast("date"))
 
 
 def change_type_from_timestamps(created_ms, changed_ms, threshold_ms: int = 1000) -> Column:
     """Derive CDC op-type when the source lacks one: a change more than
     ``threshold_ms`` after creation is an UPDATE, else a CREATE.
 
-    Reference: backfill_node_snapshots.py:83-87 (>= 1 s ⇒ UPDATE) and
-    backfill_acl_snapshots_athena.sql:74 (date_diff > 1000 ms ⇒ UPDATE).
+    Reference sources disagree at the exact boundary:
+    backfill_node_snapshots.py:83-87 uses ``>= 1 s`` ⇒ UPDATE while
+    backfill_acl_snapshots_athena.sql:74 uses ``> 1000 ms``. The Python
+    Glue jobs are the primary implementation, so ``>=`` wins here — a
+    delta of exactly ``threshold_ms`` is an UPDATE.
     """
     return F.when(
-        (_col(changed_ms).cast("long") - _col(created_ms).cast("long")) > threshold_ms,
+        (_col(changed_ms).cast("long") - _col(created_ms).cast("long")) >= threshold_ms,
         F.lit("UPDATE"),
     ).otherwise(F.lit("CREATE"))
 

@@ -205,9 +205,16 @@ def minhash_dedup(
     verified = _verified_pairs(
         df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
     )
-    # min representative per member (star contraction, one round)
+    return keep_min_representative(df, verified, id_col)
+
+
+def keep_min_representative(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop every row that has a smaller near-duplicate partner in
+    ``pairs`` (id_a < id_b) — single-round star contraction shared by the
+    text and embedding dedup pipelines. Under-merges chained clusters;
+    ``connected_components`` is the exact-transitive alternative."""
     rep = (
-        verified.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_rep"))
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_rep"))
         .groupBy(id_col)
         .agg(F.min("_rep").alias("_rep"))
     )
@@ -262,7 +269,19 @@ def simhash_near_pairs(
     Pigeonhole: split 64 bits into ``blocks`` (> max_hamming) blocks; any
     pair within distance k agrees exactly on ≥1 block → equi-join per
     block, then exact Hamming verify. Avoids the O(n²) compare.
+
+    The pigeonhole guarantee REQUIRES ``blocks > max_hamming`` (k
+    differing bits can otherwise hit every block) and ``64 % blocks ==
+    0`` (else trailing bits belong to no block) — both are validated
+    rather than silently losing recall.
     """
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if 64 % blocks != 0:
+        raise ValueError(f"64 must be divisible by blocks (got {blocks})")
     width = 64 // blocks
     sh = df.select(F.col(id_col).alias("_id"), simhash_column(text_col, seed=seed).alias("_sh"))
     blocked = sh.select(

@@ -81,7 +81,16 @@ def apply_mapping(
         if has_path(src):
             cols.append(_cast(F.col(src), src_t, dst_t).alias(dst))
         elif keep_missing_as_null:
-            spark_t = _TYPE_ALIASES.get(dst_t.lower(), "string")
+            # use the REAL target type so present/absent batches produce
+            # the same schema (string-nulling a decimal(10,2) would break
+            # later unionByName/MERGE); bare complex keywords have no
+            # parseable type — fall back to string for those only
+            dst_l = dst_t.lower()
+            spark_t = (
+                "string"
+                if dst_l in ("array", "struct", "choice")
+                else _TYPE_ALIASES.get(dst_l, dst_t)
+            )
             cols.append(F.lit(None).cast(spark_t).alias(dst))
         else:
             raise ValueError(f"mapping source not in schema: {src}")

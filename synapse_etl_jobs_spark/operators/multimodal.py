@@ -198,7 +198,10 @@ def sample_video_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
-                n = max(int((dur or 0) // every_ms), 1)
+                # nullable long arrives as float64 with NaN — and NaN is
+                # truthy, so `(dur or 0)` would keep it and int() raises
+                dur = 0 if pd.isna(dur) else int(dur)
+                n = max(dur // every_ms, 1)
                 for i in range(n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)

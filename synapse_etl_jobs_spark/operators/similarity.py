@@ -227,14 +227,10 @@ def dedup_embedding(
     each near-dup group (single-round star contraction, same policy as
     ``minhash_dedup`` — adequate for small clusters; iterative
     connected-components is the upgrade path for chained dup clusters)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import keep_min_representative
+
     pairs = embedding_neardup_pairs(
         corpus, id_col=id_col, vec_col=vec_col,
         threshold=threshold, method=method, **lsh_kwargs,
     )
-    rep = (
-        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_rep"))
-        .groupBy(id_col)
-        .agg(F.min("_rep").alias("_rep"))
-    )
-    drop = rep.filter(F.col("_rep") < F.col(id_col)).select(id_col)
-    return corpus.join(drop, on=id_col, how="left_anti")
+    return keep_min_representative(corpus, pairs, id_col)

@@ -76,13 +76,32 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _is_char_markers(words: list[str]) -> bool:
+    """True for unsegmented (character-based) marker sets like zh."""
+    return all(len(w) == 1 and not w.isascii() for w in words)
+
+
 def language_scores(text_col: str = "text") -> dict[str, Column]:
-    """Per-language marker-hit counts over the token set."""
+    """Per-language marker-hit counts.
+
+    Space-segmented languages count whole-token equality hits; zh (no
+    word boundaries — whitespace tokens are whole sentences, so token
+    equality against single-character markers can never match) counts
+    marker-CHARACTER occurrences in the raw text instead."""
     toks = tokens(text_col)
+    t = F.col(text_col)
     out = {}
     for lang, words in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+        if _is_char_markers(words):
+            score = F.lit(0)
+            for w in words:
+                score = score + (F.length(t) - F.length(F.replace(t, F.lit(w))))
+            out[lang] = score
+        else:
+            arr = F.array(*[F.lit(w) for w in words])
+            out[lang] = F.size(
+                F.filter(toks, lambda x: F.array_contains(arr, F.lower(x)))
+            )
     return out
 
 

@@ -49,17 +49,24 @@ def read_csv(
     quote: str = '"',
     sep: str = ",",
     multiline: bool = True,
+    corrupt_col: str = "_corrupt_record",
 ) -> DataFrame:
     """CSV scan (S2): quoted, headerless, multiline — the backfill reader
-    (backfill_node_snapshots.py:28-43)."""
+    (backfill_node_snapshots.py:28-43). Malformed rows are routed to
+    ``corrupt_col`` (PERMISSIVE) like the JSON scan, feeding
+    ``quarantine_split`` instead of silently becoming all-null rows."""
     reader = (
         spark.read.option("header", str(header).lower())
         .option("quote", quote)
         .option("sep", sep)
         .option("multiLine", str(multiline).lower())
         .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
     )
     if schema is not None:
+        if corrupt_col not in schema.fieldNames():
+            schema = StructType(schema.fields[:]).add(corrupt_col, "string", True)
         reader = reader.schema(schema)
     return reader.csv(path)
 

@@ -219,3 +219,33 @@ def test_spark_udf_wiring(spark):
     assert out[1]["client"] == "UNKNOWN"
     # entity-id extraction does not require /v1/ (reference :179-195)
     assert out[1]["entity_id"] == 123456
+
+
+def test_apply_mapping_missing_column_keeps_target_type(spark):
+    """Missing-source fallback must produce the REAL target type so
+    present/absent batches have identical schemas."""
+    from synapse_etl_jobs_spark.operators.mapping import apply_mapping
+
+    df = spark.createDataFrame([(1,)], "a long")
+    out = apply_mapping(df, [
+        ("a", "bigint", "a", "bigint"),
+        ("missing", "decimal(10,2)", "m", "decimal(10,2)"),
+    ])
+    assert dict(out.dtypes)["m"] == "decimal(10,2)"
+
+
+def test_read_csv_quarantines_malformed_rows(spark, tmp_path):
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.sources.readers import quarantine_split, read_csv
+
+    src = str(tmp_path / "csv")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write('1,"ok"\nnot_an_int,"bad"\n2,"fine"\n')
+    schema = StructType().add("id", "long").add("v", "string")
+    good, bad = quarantine_split(read_csv(spark, src, schema, multiline=False))
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1

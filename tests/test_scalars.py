@@ -88,3 +88,30 @@ def test_millis_roundtrip(spark):
 def test_iso8601_to_millis(spark):
     out = _apply(spark, ["2023-04-06T05:19:27.496Z"], scalars.iso8601_to_millis)
     assert out == [1680758367496]
+
+
+def test_syn_id_ansi_safe_overflow_and_whitespace(spark):
+    """ANSI-mode safety: digits beyond Long.MAX -> null (not a crash);
+    tab/newline padding is stripped like Python str.strip()."""
+    df = spark.createDataFrame(
+        [("syn99999999999999999999999",), ("\tsyn123\n",), (" syn5 ",)], "s string"
+    )
+    out = [r[0] for r in df.select(scalars.syn_id_string_to_int("s")).collect()]
+    assert out == [None, 123, 5]
+
+
+def test_filename_to_date_nonmatching_is_null(spark):
+    df = spark.createDataFrame(
+        [("s3://b/2024-03-05/f.json",), ("s3://b/no-date/f.json",)], "p string"
+    )
+    out = [r[0] for r in df.select(scalars.filename_to_date("p")).collect()]
+    assert str(out[0]) == "2024-03-05" and out[1] is None
+
+
+def test_change_type_exact_boundary_is_update(spark):
+    """Python reference semantics: delta == threshold => UPDATE."""
+    df = spark.createDataFrame([(1000, 2000)], "created long, changed long")
+    out = df.select(
+        scalars.change_type_from_timestamps("created", "changed")
+    ).collect()[0][0]
+    assert out == "UPDATE"

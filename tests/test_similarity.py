@@ -192,3 +192,16 @@ def test_audio_real_codec_is_stubbed(spark):
         multimodal.extract_audio_features(media, use_real_codec=True)
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, use_real_codec=True)
+
+
+def test_video_null_duration_safe(spark):
+    media = spark.createDataFrame(
+        [(1, "video", "m", b"", 1, 1, None), (2, "video", "m", b"", 1, 1, 3500)],
+        "media_id long, kind string, mime string, data binary, "
+        "width int, height int, duration_ms long")
+    got = {r["media_id"]: 0 for r in []}
+    frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id[r["media_id"]] = by_id.get(r["media_id"], 0) + 1
+    assert by_id == {1: 1, 2: 3}  # null duration -> one stub frame

@@ -193,3 +193,23 @@ def test_connected_components_nonconvergence_raises(spark):
         out = connected_components(chain, max_iter=2, on_nonconverged="warn")
         assert out.count() == 13
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_detect_language_chinese_chars(spark):
+    """zh has no word boundaries — detection must count marker
+    characters, not whitespace tokens."""
+    df = spark.createDataFrame(
+        [(1, "我是一个人，我有一个想法，就是不要人云亦云。"),
+         (2, "the cat sat on the mat with a hat for the win")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["pred"] for r in df.select(
+        "doc_id", text.detect_language("text").alias("pred")).collect()}
+    assert out == {1: "zh", 2: "en"}
+
+
+def test_simhash_near_pairs_validates_pigeonhole(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        dedup_text.simhash_near_pairs(d, max_hamming=4, blocks=4).collect()
+    with pytest.raises(ValueError, match="divisible"):
+        dedup_text.simhash_near_pairs(d, max_hamming=2, blocks=5).collect()
