@@ -638,6 +638,36 @@ def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
     return back.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
+def q_filename_to_date(spark, sf_dir) -> DataFrame:
+    """F13: derive per-row dates from the file path's second-to-last
+    segment (the reference's backfill S3 layout `.../<yyyy-MM-dd>/<file>`),
+    via input_file_name provenance."""
+    import os
+
+    from synapse_etl_jobs_spark.functions.scalars import filename_to_date
+    from synapse_etl_jobs_spark.sources.readers import with_provenance
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="f13_") + "/t"
+    (
+        ev.select("event_id", "user_id", F.to_date("ts").alias("record_date"))
+        .write.partitionBy("record_date")
+        .parquet(out)
+    )
+    # hive layout writes record_date=<date>/ dirs; the reference layout is
+    # bare <date>/ dirs — rename to match (test-harness reshaping only)
+    for d in os.listdir(out):
+        if d.startswith("record_date="):
+            os.rename(os.path.join(out, d), os.path.join(out, d.split("=", 1)[1]))
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    # string output: pandas has no date dtype, so a date column would
+    # stringify differently on the two sides of the value-hash compare
+    return with_provenance(back).select(
+        "event_id", "user_id",
+        F.date_format(filename_to_date("filename"), "yyyy-MM-dd").alias("record_date"),
+    )
+
+
 def q_json_quarantine(spark, sf_dir) -> DataFrame:
     """S1 + quarantine: corrupt records routed to ``_corrupt_record`` and
     split out (not silently dropped); good rows come back intact."""
@@ -837,6 +867,27 @@ def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
+    """IVF-flat ANN with n_probe == n_cells — degenerates to exact
+    search, so the brute-force SQL oracle gates the whole IVF plumbing
+    (centroid sampling, cell assignment, probe join, re-rank)."""
+    from synapse_etl_jobs_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, q, k=3, n_cells=8, n_probe=8)
+
+
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF-flat ANN, partial probe (the scale path; rows-only check —
+    recall pinned in pytest)."""
+    from synapse_etl_jobs_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, q, k=3, n_cells=8, n_probe=3)
+
+
 def q_media_plumbing(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: documents → binary media column → Arrow
     mapInPandas feature kernel; hash/size are SQL-checkable."""
@@ -886,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf_full": q_ann_ivf_full,
+        "ann_ivf": q_ann_ivf,
         "media_plumbing": q_media_plumbing,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -899,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_gzip_roundtrip": q_json_gzip_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "json_quarantine": q_json_quarantine,
+        "filename_to_date": q_filename_to_date,
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
@@ -1095,6 +1149,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
         """,
+        "ann_ivf_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+              FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "media_plumbing": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
@@ -1156,6 +1225,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_quarantine": """
             SELECT event_id, user_id FROM events
+        """,
+        "filename_to_date": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS record_date
+            FROM events
         """,
         "cdc_lake_merge_mor": _CDC_ORACLE,
         "lake_schema_evolution": """

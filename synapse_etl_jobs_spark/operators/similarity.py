@@ -151,6 +151,96 @@ def rp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: pick ``n_cells`` corpus vectors as cell
+    centroids (deterministic hash-sample — the classic k-means++ upgrade
+    is a drop-in, but hash-sampling needs no iterative training job) and
+    assign every vector to its nearest centroid by cosine.
+
+    Returns ``(centroids, assigned)`` where centroids = (cell, centroid
+    vector) and assigned = corpus + ``_cell``. Assignment is one pass:
+    centroids are broadcast (n_cells rows), the corpus streams through a
+    single stage — no shuffle. At 10^9 vectors this is the standard
+    IVF-flat build: O(n · n_cells) JVM-side dot products, embarrassingly
+    parallel.
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # deterministic sample: the n_cells vectors with smallest xxhash64(id)
+    w = Window.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+    centroids = (
+        c.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).alias("cell"), F.col("_v").alias("centroid"))
+    )
+    scored = c.join(F.broadcast(centroids)).select(
+        "_id", "_v", "cell", cosine(F.col("_v"), F.col("centroid")).alias("_sim")
+    )
+    wc = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col),
+                F.col("cell").alias("_cell"))
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: score queries only against vectors in
+    the ``n_probe`` cells nearest each query (inverted-file search, the
+    FAISS IVF-Flat scheme). Recall rises with ``n_probe``/``n_cells``;
+    ``n_probe == n_cells`` degenerates to exact brute force.
+
+    Plan shape at scale: the partitioned corpus is assigned once (reuse
+    ``ivf_assign`` output as a materialized column), each query probes
+    n_probe cells via an equi-join on ``_cell`` — the join key is a small
+    int, so AQE can skew-split a hot cell — and only candidate pairs pay
+    the full-dimension cosine.
+    """
+    centroids, assigned = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qscore = q.join(F.broadcast(centroids)).select(
+        "query_id", "_qv", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        qscore.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", F.col("cell").alias("_cell"))
+    )
+    cands = probes.join(assigned, "_cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     *,

@@ -205,3 +205,31 @@ def test_video_null_duration_safe(spark):
     for r in frames:
         by_id[r["media_id"]] = by_id.get(r["media_id"], 0) + 1
     assert by_id == {1: 1, 2: 3}  # null duration -> one stub frame
+
+
+def test_ivf_assign_shapes(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents, assigned = similarity.ivf_assign(e, n_cells=8)
+    assert cents.count() == 8
+    assert assigned.count() == e.count()
+    cells = {r["_cell"] for r in assigned.select("_cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+
+def test_ivf_topk_recall_and_fullprobe_exact(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # n_probe == n_cells degenerates to exact brute force
+    full = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=8).collect()
+    full_sets = {}
+    for r in full:
+        full_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert full_sets == exact_sets
+    # partial probe: sane recall on the top-5
+    part = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3).collect()
+    hit = sum(1 for r in part if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
+    assert hit / max(len(part), 1) >= 0.3
