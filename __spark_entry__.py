@@ -370,10 +370,10 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
 
 def q_simhash(spark, sf_dir) -> DataFrame:
     """64-bit SimHash per document (rows-only check)."""
-    from synapse_etl_jobs_spark.operators.dedup_text import simhash_column
+    from synapse_etl_jobs_spark.operators.dedup_text import simhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_column("text").alias("simhash"))
+    return simhash_signatures(d)
 
 
 def q_doc_fingerprint(spark, sf_dir) -> DataFrame:

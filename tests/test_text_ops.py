@@ -213,3 +213,18 @@ def test_simhash_near_pairs_validates_pigeonhole(spark):
         dedup_text.simhash_near_pairs(d, max_hamming=4, blocks=4).collect()
     with pytest.raises(ValueError, match="divisible"):
         dedup_text.simhash_near_pairs(d, max_hamming=2, blocks=5).collect()
+
+
+def test_simhash_signatures_matches_column_form(spark):
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        simhash_column, simhash_signatures,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "")],
+        "doc_id long, text string")
+    col_form = {r["doc_id"]: r["s"] for r in
+                d.select("doc_id", simhash_column("text").alias("s")).collect()}
+    df_form = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    assert df_form == col_form
+    assert df_form[3] == 0  # empty doc keeps a (zero) signature
