@@ -9,8 +9,21 @@ fingerprints, LSH-ANN) are exposed without oracles → rows-only checks.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
+
+
+def _tmpdir(prefix: str) -> str:
+    """Temp dir for query-local tables/sinks, removed at interpreter
+    exit. Cleanup can't happen inside the query callable: the returned
+    DataFrame is lazy, so the files must outlive the call — but repeated
+    gate/bench runs must not accumulate table copies in /tmp either.
+    """
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,7 +105,7 @@ def q_cdc_lake_merge(spark, sf_dir) -> DataFrame:
         .add("event_type", "string")
         .add("value", "double")
     )
-    path = tempfile.mkdtemp(prefix="lake_entry_") + "/t"
+    path = _tmpdir("lake_entry_") + "/t"
     table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=8)
     n = ev.count()
     ReplayDriver(table, batch_events=max(n // 3, 1)).replay(ev)
@@ -597,7 +610,7 @@ def q_json_gzip_roundtrip(spark, sf_dir) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     y, m, d = year_month_day(F.col("ts"))
-    out = tempfile.mkdtemp(prefix="json_sink_") + "/t"
+    out = _tmpdir("json_sink_") + "/t"
     (
         ev.select("event_id", "user_id", "event_type", y, m, d)
         .write.partitionBy("year", "month", "day")
@@ -621,7 +634,7 @@ def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.sources.readers import read_csv
 
     c = _t(spark, sf_dir, "customer")
-    out = tempfile.mkdtemp(prefix="csv_sink_") + "/t"
+    out = _tmpdir("csv_sink_") + "/t"
     (
         c.select("c_custkey", "c_name", "c_acctbal")
         .write.option("header", "false")
@@ -648,7 +661,7 @@ def q_filename_to_date(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.sources.readers import with_provenance
 
     ev = _t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="f13_") + "/t"
+    out = _tmpdir("f13_") + "/t"
     (
         ev.select("event_id", "user_id", F.to_date("ts").alias("record_date"))
         .write.partitionBy("record_date")
@@ -678,7 +691,7 @@ def q_json_quarantine(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.sources.readers import quarantine_split, read_json
 
     ev = _t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="json_q_") + "/t"
+    out = _tmpdir("json_q_") + "/t"
     ev.select("event_id", "user_id").write.json(out)
     with open(os.path.join(out, "part-corrupt.json"), "w") as f:
         f.write('{"event_id": not-json\n{broken\n')
@@ -708,7 +721,7 @@ def q_cdc_lake_merge_mor(spark, sf_dir) -> DataFrame:
         .add("event_type", "string")
         .add("value", "double")
     )
-    path = tempfile.mkdtemp(prefix="lake_mor_") + "/t"
+    path = _tmpdir("lake_mor_") + "/t"
     table = LakeTable.create(
         spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
     )
@@ -740,7 +753,7 @@ def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
         .add("event_type", "string")
         .add("value", "double")
     )
-    path = tempfile.mkdtemp(prefix="lake_evo_") + "/t"
+    path = _tmpdir("lake_evo_") + "/t"
     table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=8)
     table.merge(ev.filter(F.col("seq") <= split), batch_id=0)
     table.evolve_schema(add_columns=[("k", "integer")], renames={"value": "val"})
@@ -770,11 +783,14 @@ def q_lake_point_scan(spark, sf_dir) -> DataFrame:
         .add("event_type", "string")
         .add("value", "double")
     )
-    path = tempfile.mkdtemp(prefix="lake_pt_") + "/t"
+    path = _tmpdir("lake_pt_") + "/t"
     table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=16)
     ReplayDriver(table, batch_events=10**9).replay(ev)
+    # scan_keys returns WHOLE buckets — filter to exactly the probed key
+    # set (other users sharing a probed bucket must not leak through, and
+    # the oracle predicate must match this set precisely)
     return table.scan_keys([(uid,) for uid in range(1, 11)]).filter(
-        F.col("user_id") <= 10
+        F.col("user_id").between(1, 10)
     ).select("user_id", "event_type", "value")
 
 
@@ -1256,7 +1272,8 @@ def oracle_sql() -> dict[str, str]:
               FROM ev
             )
             SELECT user_id, event_type, value
-            FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id <= 10
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+              AND user_id BETWEEN 1 AND 10
         """,
         "connected_components": """
             WITH RECURSIVE pairs AS (
@@ -1299,7 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window": """
             WITH marked AS (
               SELECT user_id, ts,
-                     CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                             OR lag(ts) OVER w IS NULL
                           THEN 1 ELSE 0 END AS new_session
               FROM events

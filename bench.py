@@ -8,8 +8,7 @@ Per-query wall times for the operator suite ride along in "queries".
 
 Extras (not required by the driver contract, reported for BENCH docs):
 - "cdc_events_per_sec": headline throughput
-- pass --scaling to ALSO run the replay at local[8] and local[32] in
-  subprocesses and report scaling efficiency (the N vs 4N proxy).
+- scaling evidence (N vs 4N parallelism) lives in tools/bench_scaling.py.
 """
 
 from __future__ import annotations
@@ -118,7 +117,15 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        n = df.count()  # materialize
+        # materialize EVERY column: a bare count() lets Catalyst prune
+        # computed projections, timing a parquet count scan instead of
+        # the operator — hashing a struct of all columns is non-prunable
+        from pyspark.sql import functions as F
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.xxhash64(F.struct(*df.columns))).alias("_force"),
+        ).collect()[0]
+        n = row["n"]
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt

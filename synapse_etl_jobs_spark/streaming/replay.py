@@ -39,6 +39,7 @@ class ReplayDriver:
         salt_buckets: int | None = None,
         op_col: str = "op",
         seq_col: str = "seq",
+        dedup_strategy: str = "semijoin",
     ):
         self.table = table
         self.stream_id = stream_id
@@ -46,6 +47,7 @@ class ReplayDriver:
         self.salt_buckets = salt_buckets
         self.op_col = op_col
         self.seq_col = seq_col
+        self.dedup_strategy = dedup_strategy
 
     def replay(
         self, events: DataFrame, *, seq_start: int = 0, seq_end: int | None = None
@@ -95,6 +97,7 @@ class ReplayDriver:
                 stream_id=self.stream_id,
                 batch_id=batch_id,
                 salt_buckets=self.salt_buckets,
+                dedup_strategy=self.dedup_strategy,
             )
             s["batch_id"] = batch_id
             stats.append(s)

@@ -55,8 +55,10 @@ schema = (StructType().add("repo","string").add("path","string")
           .add("commit","string").add("lang","string").add("content","string"))
 ev = spark.read.parquet(src)   # same files at both levels — the real ingest shape
 tmp = tempfile.mkdtemp()
+# table layout must be IDENTICAL at both parallelism levels — the
+# measurement is core scaling, not bucket-count effects
 t = LakeTable.create(spark, tmp+"/t", schema, ["repo","path","commit"],
-                     num_buckets=max(cores, 16), write_mode="mor")
+                     num_buckets=32, write_mode="mor")
 t0 = time.time()
 ReplayDriver(t, batch_events=(n+batches-1)//batches).replay(ev, seq_start=0, seq_end=n)
 wall = time.time() - t0
@@ -97,7 +99,7 @@ def main():
     eff = speedup / (c_big / c_small)
     print(json.dumps({
         "events": n, "batches": batches,
-        "n_cores": small, "4n_cores": big,
+        "small": small, "big": big,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }))

@@ -22,16 +22,21 @@ def value_hash(pdf) -> str:
     import pandas as pd
 
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    # normalize: floats to 6dp strings, everything to str, row-sorted
+    # normalize: floats to 6dp strings (-0.0 folded to 0.0), everything
+    # to str; LENGTH-PREFIX each value so separators inside data can't
+    # shift column/row boundaries into a false match
     def norm(v):
         if v is None or v != v:
             return "NULL"
         if isinstance(v, float):
+            if v == 0:
+                v = 0.0
             return f"{v:.6f}"
         return str(v)
 
     rows = sorted(
-        ",".join(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+        "".join(f"{len(x)}:{x};" for x in (norm(v) for v in row))
+        for row in pdf.itertuples(index=False, name=None)
     )
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 

@@ -96,7 +96,7 @@ def main() -> None:
 
     driver = ReplayDriver(
         table, stream_id=args.stream_id, batch_events=args.batch_events,
-        salt_buckets=args.salt_buckets,
+        salt_buckets=args.salt_buckets, dedup_strategy=args.dedup_strategy,
     )
     t0 = time.time()
     stats = driver.replay(events, seq_start=0, seq_end=seq_end)
@@ -106,10 +106,14 @@ def main() -> None:
 
     applied = [s for s in stats if s.get("applied")]
     hwm = driver.high_watermark()
-    end = seq_end if seq_end is not None else ((hwm + 1) if hwm is not None else 0)
     b = args.batch_events
-    n_events = sum(
-        min((s["batch_id"] + 1) * b, end) - s["batch_id"] * b for s in applied
+    # count ACTUAL events in the applied windows (seq-window arithmetic
+    # would overstate sparse-seq sources by orders of magnitude)
+    from pyspark.sql import functions as F
+    applied_ids = [s["batch_id"] for s in applied]
+    n_events = (
+        events.filter(F.floor(F.col("seq") / b).isin(applied_ids)).count()
+        if applied_ids else 0
     )
     print(json.dumps({
         "batches_applied": len(applied),
