@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "ann_bruteforce",
+    "ann_ivf",
+    "embedding_dedup_lsh",
+    "tumbling_window",
+    "connected_components",
     "media_plumbing",
 ]
 

@@ -119,6 +119,7 @@ def stream_into_table(
     op_col: str = "op",
     seq_col: str = "seq",
     salt_buckets: int | None = None,
+    dedup_strategy: str = "semijoin",
     trigger_once: bool = True,
 ):
     """Structured-Streaming ingestion: ``foreachBatch`` merge with the
@@ -137,6 +138,7 @@ def stream_into_table(
             stream_id=stream_id,
             batch_id=batch_id,
             salt_buckets=salt_buckets,
+            dedup_strategy=dedup_strategy,
         )
 
     writer = (
