@@ -90,11 +90,66 @@ def _hyperplane_bit(vec: Column, bit: int, seed: int) -> Column:
 
 
 def rp_signature(vec: Column, bits: int = 16, seed: int = 42) -> Column:
-    """Packed ``bits``-bit random-hyperplane signature (one long)."""
+    """Packed ``bits``-bit random-hyperplane signature (one long).
+
+    Column-expression form for ad-hoc use — the nested aggregates run
+    interpreted. Corpus-scale paths use ``rp_signatures`` below
+    (explode + codegen aggregation, different-but-equivalent hash
+    family)."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
         acc = acc + _hyperplane_bit(vec, b, seed) * F.lit(1 << b).cast("long")
     return acc
+
+
+def rp_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """All random-hyperplane signatures for a corpus in ONE codegen
+    aggregation: posexplode the vector to (id, j, v_j) rows, compute
+    every (table, bit) projection as a sum aggregate, then pack bits.
+
+    Projections use INTEGER arithmetic — ``round(v·10^6) · w(b,j)`` with
+    integer weights summed as longs — so the result is independent of
+    aggregation order (float sums are not: two identical vectors reduced
+    in different orders could land on opposite sides of zero, breaking
+    the identical-vectors-always-collide guarantee that the exact-dup
+    dedup path relies on). Max magnitude ≈ 10^6·5000·dim — far inside
+    long range, ANSI-safe. Output: (id_col, table, sig).
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("_j", "_v")
+    ).select(
+        id_col,
+        F.col("_j"),
+        F.round(F.col("_v").cast("double") * 1_000_000).cast("long").alias("_vi"),
+    )
+    aggs = []
+    for t in range(tables):
+        tseed = seed + 101 * t
+        for b in range(bits):
+            w = F.pmod(
+                F.xxhash64(F.lit(b), F.col("_j"), F.lit(tseed)), F.lit(10001)
+            ) - 5000
+            aggs.append(F.sum(F.col("_vi") * w).alias(f"_p_{t}_{b}"))
+    sums = ex.groupBy(id_col).agg(*aggs)
+    packed = []
+    for t in range(tables):
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            acc = acc + F.when(
+                F.col(f"_p_{t}_{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        packed.append(F.struct(F.lit(t).alias("table"), acc.alias("sig")))
+    return sums.select(
+        F.col(id_col), F.explode(F.array(*packed)).alias("_ts")
+    ).select(id_col, "_ts.table", "_ts.sig")
 
 
 def rp_lsh_topk(
@@ -116,21 +171,15 @@ def rp_lsh_topk(
     (materialize them alongside the embedding column).
     """
     def signed(df: DataFrame, side: str) -> DataFrame:
-        out = df.select(
+        sigs = rp_signatures(
+            df, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables, seed=seed
+        )
+        return df.select(
             F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"_{side}v")
+        ).join(
+            sigs.select(F.col(id_col).alias(f"{side}_id"), "table", "sig"),
+            f"{side}_id",
         )
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    rp_signature(F.col(f"_{side}v"), bits, seed + 101 * t).alias("sig"),
-                )
-                for t in range(tables)
-            ]
-        )
-        return out.select(
-            f"{side}_id", f"_{side}v", F.explode(sigs).alias("_ts")
-        ).select(f"{side}_id", f"_{side}v", "_ts.table", "_ts.sig")
 
     qs = signed(queries, "query")
     cs = signed(corpus, "neighbor")
@@ -271,18 +320,10 @@ def embedding_neardup_pairs(
         b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    rp_signature(F.col("_v"), bits, seed + 101 * t).alias("sig"),
-                )
-                for t in range(tables)
-            ]
+        sigs = rp_signatures(
+            c, id_col="_id", vec_col="_v", bits=bits, tables=tables, seed=seed
         )
-        blocked = c.select("_id", "_v", F.explode(sigs).alias("_ts")).select(
-            "_id", "_v", "_ts.table", "_ts.sig"
-        )
+        blocked = c.join(sigs, "_id").select("_id", "_v", "table", "sig")
         a = blocked.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "table", "sig"
         )
