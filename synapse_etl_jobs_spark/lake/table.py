@@ -234,8 +234,17 @@ class LakeTable:
         salt = max(int(self.manifest.props.get("write_salt", 1)), 1)
         parts = max(self.manifest.num_buckets, min_tasks) * salt
         if salt > 1:
+            # the salt MUST be decorrelated from the bucket hash: bucket =
+            # pmod(xxhash64(bucket_cols), num_buckets), and for single-key
+            # tables bucket_cols == key_cols, so pmod(xxhash64(key_cols),
+            # salt) would be a pure function of the bucket whenever salt
+            # divides num_buckets — every row of a bucket landing on ONE
+            # salt value, silently disabling the straggler defusal. A
+            # literal seed element makes the two hashes independent.
             salt_col = F.pmod(
-                F.xxhash64(*[F.col(k) for k in self.manifest.key_cols]), F.lit(salt)
+                F.xxhash64(F.lit("write-salt"),
+                           *[F.col(k) for k in self.manifest.key_cols]),
+                F.lit(salt),
             )
             df = df.repartition(parts, F.col(BUCKET_COL), salt_col)
         else:

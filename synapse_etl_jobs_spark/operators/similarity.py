@@ -122,6 +122,13 @@ def rp_signatures(
     the identical-vectors-always-collide guarantee that the exact-dup
     dedup path relies on). Max magnitude ≈ 10^6·5000·dim — far inside
     long range, ANSI-safe. Output: (id_col, table, sig).
+
+    Null/empty vectors: ``posexplode`` yields no rows for them, so their
+    ids are restored by a left join and take signature 0 in EVERY table
+    (the same zero-default ``simhash_signatures`` gives zero-token docs,
+    and what the inline ``rp_signature`` computes for an empty array).
+    They collide only with each other; downstream cosine ranking decides
+    what that means — they never silently vanish from results.
     """
     ex = df.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("_j", "_v")
@@ -138,7 +145,10 @@ def rp_signatures(
                 F.xxhash64(F.lit(b), F.col("_j"), F.lit(tseed)), F.lit(10001)
             ) - 5000
             aggs.append(F.sum(F.col("_vi") * w).alias(f"_p_{t}_{b}"))
-    sums = ex.groupBy(id_col).agg(*aggs)
+    # restore ids whose vector was null/empty (dropped by posexplode):
+    # their _p_* sums are null, so every when() below takes the 0 branch
+    # and the packed signature is 0 in every table
+    sums = df.select(F.col(id_col)).join(ex.groupBy(id_col).agg(*aggs), id_col, "left")
     packed = []
     for t in range(tables):
         acc = F.lit(0).cast("long")

@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from synapse_etl_jobs_spark.lake.table import LakeTable
 
 
+def window_id(seq_col: str, batch_events: int):
+    """Exact integer window id ``seq div batch_events`` as a Column.
+
+    Long-arithmetic `div`, never `/`: double division silently rounds
+    above 2^53 and misassigns events to adjacent windows (see replay()).
+    """
+    return F.expr(f"CAST(`{seq_col}` AS BIGINT) div {int(batch_events)}")
+
+
 class ReplayDriver:
     """Seq-windowed batch replay into a LakeTable."""
 
@@ -68,12 +77,18 @@ class ReplayDriver:
         # per EMPTY window, bloating the manifest chain with no-op
         # versions. Deterministic across restarts: the same events yield
         # the same non-empty window set, so markers line up.
+        # The window id MUST be exact integer division (`div`): Spark `/`
+        # is double division, and above 2^53 (snowflake ids, epoch-nanos —
+        # exactly the sparse domains this pre-pass serves) float rounding
+        # can assign an event to the adjacent window, which the lo/hi loop
+        # below (exact integer arithmetic) would then skip as empty —
+        # silent data loss with a marker still committed.
         nonempty = {
             int(r[0])
             for r in events.filter(
                 (F.col(self.seq_col) >= seq_start) & (F.col(self.seq_col) < seq_end)
             )
-            .select(F.floor(F.col(self.seq_col) / b).alias("w"))
+            .select(window_id(self.seq_col, b).alias("w"))
             .distinct()
             .collect()
         }

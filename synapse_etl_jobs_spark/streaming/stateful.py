@@ -16,7 +16,10 @@ Semantics per micro-batch and key:
 - if it exceeds the stored watermark, emit ALL of the key's batch rows
   that exceed the stored watermark (the merge still wants every
   candidate newer than the table might have) and advance the state;
-- stale/duplicate rows (seq ≤ stored watermark) are dropped.
+- stale/duplicate rows (seq ≤ stored watermark) are dropped;
+- null-seq rows (no ordering info) are dropped unconditionally — the
+  same fate the > comparison gives them once state exists, made
+  consistent (and crash-free) for first-seen keys too.
 
 State is one long per key (bounded, no payload), optionally expired via
 processing-time timeout — after expiry a re-delivered stale event passes
@@ -71,6 +74,12 @@ def stateful_lww_filter(
         watermark = state.get[0] if state.exists else None
         best = watermark
         for pdf in pdfs:
+            # null-seq events carry no ordering information: drop them
+            # deterministically in EVERY case. (Without this, a first-seen
+            # key whose batch is all-null-seq would crash the micro-batch
+            # on int(NaN), while a key with existing state silently dropped
+            # the same rows via the > comparison — inconsistent and fatal.)
+            pdf = pdf[pdf[seq_col].notna()]
             if watermark is not None:
                 pdf = pdf[pdf[seq_col] > watermark]
             if len(pdf):

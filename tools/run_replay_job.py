@@ -108,11 +108,12 @@ def main() -> None:
     hwm = driver.high_watermark()
     b = args.batch_events
     # count ACTUAL events in the applied windows (seq-window arithmetic
-    # would overstate sparse-seq sources by orders of magnitude)
-    from pyspark.sql import functions as F
+    # would overstate sparse-seq sources by orders of magnitude); window
+    # ids use exact integer div to agree with ReplayDriver above 2^53
+    from synapse_etl_jobs_spark.streaming.replay import window_id
     applied_ids = [s["batch_id"] for s in applied]
     n_events = (
-        events.filter(F.floor(F.col("seq") / b).isin(applied_ids)).count()
+        events.filter(window_id("seq", b).isin(applied_ids)).count()
         if applied_ids else 0
     )
     print(json.dumps({
