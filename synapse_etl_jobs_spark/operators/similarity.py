@@ -36,6 +36,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k of (query_id, neighbor_id, sim) rows — adds
+    ``rank`` and keeps rank ≤ k per query, deterministic tie-break by
+    neighbor id.
+
+    Phase 1 takes a LOCAL top-k within each (query, input-partition)
+    group, so parallelism is #queries × #partitions instead of #queries
+    — a single-query search over a 10^9-row corpus no longer funnels
+    every scored row through one reducer. Phase 2 merges the ≤
+    k·#partitions survivors per query (tiny). The result — values AND
+    ranks — is identical to a single global window for any partition
+    split, because the global top-k is a subset of the union of local
+    top-ks and the final ordering re-ranks from scratch.
+    """
+    order = [F.col("sim").desc(), F.col("neighbor_id").asc()]
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,10 +76,11 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, sim, rank), self-matches excluded,
     deterministic tie-break by neighbor id. The query side is broadcast —
-    the corpus streams through one stage with no shuffle; the only
-    shuffle is the per-query top-k window over |queries|·|corpus| rows,
-    bounded by keeping |queries| small (real ANN serving goes through
-    ``rp_lsh_topk``).
+    the corpus streams through one stage with no shuffle — and the
+    reduction is the two-phase ``topk_per_query``: a map-side local
+    top-k bounds the shuffle at k·#partitions rows per query, so
+    parallelism never degenerates to #queries (the round-1 plan put all
+    |corpus| rows for one query through one reducer).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -67,13 +96,7 @@ def brute_force_topk(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k)
 
 
 def _hyperplane_bit(vec: Column, bit: int, seed: int) -> Column:
@@ -204,10 +227,7 @@ def rp_lsh_topk(
         "neighbor_id",
         F.round(cosine(F.col("_queryv"), F.col("_neighborv")), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_query(scored, k)
 
 
 def ivf_assign(
@@ -231,11 +251,19 @@ def ivf_assign(
     parallel.
     """
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # deterministic sample: the n_cells vectors with smallest xxhash64(id)
+    # deterministic sample: the n_cells vectors with smallest xxhash64(id).
+    # orderBy().limit() plans as TakeOrderedAndProject — each scan task
+    # keeps a local top-n_cells and only those survivors merge — so the
+    # pick is distributed. (A global row_number window here would funnel
+    # the ENTIRE corpus through one task: the scale-killer at 10^9
+    # vectors.) The row_number that assigns cell ids runs AFTER the
+    # limit, over exactly n_cells rows — a single tiny-partition sort.
+    hkey = F.xxhash64(F.col("_id"), F.lit(seed))
     w = Window.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
     centroids = (
-        c.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
+        c.orderBy(hkey.asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .withColumn("_r", F.row_number().over(w))
         .select((F.col("_r") - 1).alias("cell"), F.col("_v").alias("centroid"))
     )
     scored = c.join(F.broadcast(centroids)).select(
@@ -294,10 +322,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_query(scored, k)
 
 
 def embedding_neardup_pairs(

@@ -45,8 +45,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # LSH self-join is a shuffled hash/merge join on compact keys — and
     # entirely JVM-side
     ("minhash_lsh_pairs", ["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
-    # brute-force ANN broadcasts the query side; no cartesian product
-    ("ann_bruteforce", ["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # brute-force ANN broadcasts the query side; no cartesian product;
+    # two-phase top-k (local SPARK_PARTITION_ID window) — parallelism
+    # must never equal #queries
+    ("ann_bruteforce", ["BroadcastNestedLoopJoin", "SPARK_PARTITION_ID"],
+     ["CartesianProduct", "BatchEvalPython"]),
+    # IVF centroid pick must be a distributed TakeOrderedAndProject, not
+    # a global row_number window over the whole corpus
+    ("ann_ivf_full", ["TakeOrderedAndProject"], ["CartesianProduct", "BatchEvalPython"]),
     # embedding LSH dedup: blocked equi-join, no cartesian product
     ("embedding_dedup_lsh", [], ["CartesianProduct", "BatchEvalPython"]),
     # event-time windows: hash aggregate over the window struct, no sort
