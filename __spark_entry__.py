@@ -107,8 +107,9 @@ def q_cdc_lake_merge(spark, sf_dir) -> DataFrame:
     )
     path = _tmpdir("lake_entry_") + "/t"
     table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=8)
-    n = ev.count()
-    ReplayDriver(table, batch_events=max(n // 3, 1)).replay(ev)
+    # num_batches sizes windows from the seq span inside the driver (one
+    # column-pruned min/max agg) — no driver-side count() scan here
+    ReplayDriver(table, num_batches=3).replay(ev)
     # _seq is the stored event id — exposed for the oracle comparison
     return table.read(include_internal=True).filter(~F.col("_deleted")).select(
         "user_id", "event_type", "value", F.col("_seq").alias("seq")
@@ -367,8 +368,10 @@ def q_ngram_jaccard_adjacent(spark, sf_dir) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    maxid = d.agg(F.max("doc_id")).collect()[0][0]
-    pairs = pairs.filter(F.col("id_b") <= maxid)
+    # keep only pairs whose right side exists — a lazy semi-join, not a
+    # driver-side max() collect (doc ids are dense, so this equals the
+    # oracle's id_b <= max(doc_id) predicate)
+    pairs = pairs.join(d.select(F.col("doc_id").alias("id_b")), "id_b", "leftsemi")
     return ngram_jaccard_pairs(d, pairs, k=3)
 
 
@@ -725,8 +728,7 @@ def q_cdc_lake_merge_mor(spark, sf_dir) -> DataFrame:
     table = LakeTable.create(
         spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
     )
-    n = ev.count()
-    ReplayDriver(table, batch_events=max(n // 3, 1)).replay(ev)
+    ReplayDriver(table, num_batches=3).replay(ev)
     table.compact(drop_tombstones=False)
     return table.read(include_internal=True).filter(~F.col("_deleted")).select(
         "user_id", "event_type", "value", F.col("_seq").alias("seq")
@@ -852,11 +854,12 @@ def q_connected_components(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.operators.dedup_text import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    maxid = d.agg(F.max("doc_id")).collect()[0][0]
     pairs = (
         d.filter(F.pmod("doc_id", F.lit(5)) < 2)
         .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-        .filter(F.col("id_b") <= maxid)
+        # lazy semi-join instead of a driver-side max() collect (dense
+        # ids ⇒ equivalent to the oracle's id_b <= max predicate)
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "leftsemi")
     )
     return connected_components(pairs)
 

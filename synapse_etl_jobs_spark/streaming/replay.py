@@ -44,15 +44,24 @@ class ReplayDriver:
         table: LakeTable,
         *,
         stream_id: str = "replay",
-        batch_events: int = 1_000_000,
+        batch_events: int | None = 1_000_000,
+        num_batches: int | None = None,
         salt_buckets: int | None = None,
         op_col: str = "op",
         seq_col: str = "seq",
         dedup_strategy: str = "semijoin",
     ):
+        """``batch_events`` fixes the seq-window width; alternatively
+        ``num_batches`` derives the width from the stream's seq span (one
+        column-pruned min/max aggregate — the same scan replay() needs
+        for ``seq_end`` anyway), so callers never pre-``count()`` the
+        stream just to size batches."""
+        if num_batches is not None and num_batches < 1:
+            raise ValueError("num_batches must be >= 1")
         self.table = table
         self.stream_id = stream_id
         self.batch_events = batch_events
+        self.num_batches = num_batches
         self.salt_buckets = salt_buckets
         self.op_col = op_col
         self.seq_col = seq_col
@@ -65,12 +74,18 @@ class ReplayDriver:
         seq-window index — deterministic across runs, so a restarted
         replay lines up with the markers of the previous attempt."""
         if seq_end is None:
-            seq_end = events.agg(F.max(self.seq_col)).collect()[0][0]
-            if seq_end is None:
+            agg = events.agg(
+                F.min(self.seq_col).alias("lo"), F.max(self.seq_col).alias("hi")
+            ).collect()[0]
+            if agg["hi"] is None:
                 return []
-            seq_end = int(seq_end) + 1
+            seq_end = int(agg["hi"]) + 1
+        if self.num_batches is not None:
+            span = max(seq_end - seq_start, 1)
+            b = (span + self.num_batches - 1) // self.num_batches
+        else:
+            b = self.batch_events
         stats = []
-        b = self.batch_events
         # ONE cheap pre-pass finds the non-empty seq windows (column-pruned
         # scan + hash aggregate). A sparse seq space — e.g. epoch-millis
         # sequences — would otherwise commit a new table version + marker
