@@ -375,29 +375,66 @@ def q_ngram_jaccard_adjacent(spark, sf_dir) -> DataFrame:
     return ngram_jaccard_pairs(d, pairs, k=3)
 
 
-def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
-    """MinHash-LSH near-dup candidates (no SQL oracle — rows-only check;
-    exactness of the downstream verify is covered by ngram_jaccard)."""
-    from synapse_etl_jobs_spark.operators.dedup_text import minhash_lsh_candidates
+def _augmented_documents(spark, sf_dir) -> DataFrame:
+    """Documents ∪ verbatim copies shifted by +10000000 — deterministic
+    exact duplicates. Identical texts produce identical MinHash
+    signatures, so they collide in EVERY LSH band: banding recall for
+    them is exactly 1.0, which makes the LSH pipelines SQL-oracle-able
+    (the oracle is the equal-shingle-set pair/representative set)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    dup = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "n_chars"
+    )
+    return d.unionByName(dup)
 
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, shingle_k=5, num_hashes=32, bands=8)
+
+def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verify at 1.0
+    over the copy-augmented corpus. The banding path must RECALL every
+    equal-shingle-set pair (identical signatures collide in all bands)
+    and the verify must reject every unequal candidate — so the output
+    equals the equal-shingle-set pair list, which the DuckDB oracle
+    computes directly. Raw candidate behavior at lower thresholds is
+    pinned in pytest (recall tests)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    aug = _augmented_documents(spark, sf_dir)
+    cands = minhash_lsh_candidates(aug, shingle_k=5, num_hashes=32, bands=8)
+    return (
+        ngram_jaccard_pairs(aug, cands, k=5)
+        .filter(F.col("jaccard") >= 1.0)
+        .select("id_a", "id_b")
+    )
 
 
 def q_simhash(spark, sf_dir) -> DataFrame:
-    """64-bit SimHash per document (rows-only check)."""
+    """48-bit SimHash per document through the explode+bit-vote
+    aggregate, using the portable md5-derived token hash so a DuckDB
+    oracle reproduces every signature bit-for-bit. Identical plan to the
+    production 64-bit/xxhash64 default (pinned in pytest) — only the
+    leaf hash expression differs."""
     from synapse_etl_jobs_spark.operators.dedup_text import simhash_signatures
+    from synapse_etl_jobs_spark.operators.text import md5_hash48
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_signatures(d)
+    return simhash_signatures(d, bits=48, token_hash=md5_hash48)
 
 
 def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
-    """Winnowing fingerprint size per doc (rows-only check)."""
-    from synapse_etl_jobs_spark.operators.text import fingerprint
+    """Winnowing fingerprint per doc (count + min/max selected hash),
+    portable md5 token hash → exact DuckDB oracle."""
+    from synapse_etl_jobs_spark.operators.text import fingerprint, md5_hash48
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.size(fingerprint("text")).alias("n_fingerprints"))
+    fp = fingerprint("text", window=8, token_hash=md5_hash48)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )
 
 
 def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
@@ -409,13 +446,31 @@ def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
     return brute_force_topk(e, q, k=3)
 
 
+def _double_copied_embeddings(spark, sf_dir) -> DataFrame:
+    """Embeddings ∪ two exact copies (+1000000, +2000000). For every
+    query, its copies are cosine-1.0 neighbors that any signature/cell
+    scheme MUST find (identical vectors get identical signatures and
+    identical cell assignments), so approximate top-2 == exact top-2 and
+    the brute-force SQL oracle gates the approximate plumbing."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    ).unionByName(
+        e.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    )
+
+
 def q_ann_lsh(spark, sf_dir) -> DataFrame:
-    """Random-hyperplane LSH ANN (rows-only check; recall tested in pytest)."""
+    """Random-hyperplane LSH ANN over the copy-augmented corpus, k=2:
+    deterministic (the two exact copies are always candidates and always
+    rank 1-2), so the exact top-2 SQL oracle gates the multi-table
+    signature join end-to-end. General-vector recall is pinned in
+    pytest."""
     from synapse_etl_jobs_spark.operators.similarity import rp_lsh_topk
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    return rp_lsh_topk(e, q, k=3, bits=8, tables=4)
+    aug = _double_copied_embeddings(spark, sf_dir)
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return rp_lsh_topk(aug, q, k=2, bits=8, tables=4)
 
 
 def _augmented_embeddings(spark, sf_dir) -> DataFrame:
@@ -839,12 +894,19 @@ def q_session_window(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole banding (rows-only check)."""
+    """SimHash near-dup pairs via pigeonhole banding. Because the banded
+    join is followed by an EXACT Hamming verify, the output equals the
+    brute-force pair set within the distance bound — with the portable
+    md5 token hash the DuckDB oracle computes exactly that (all-pairs
+    bit_count(xor) at gate scale). blocks > max_hamming upholds the
+    pigeonhole recall guarantee."""
     from synapse_etl_jobs_spark.operators.dedup_text import simhash_near_pairs
+    from synapse_etl_jobs_spark.operators.text import md5_hash48
 
     d = _t(spark, sf_dir, "documents")
-    # blocks must exceed max_hamming for the pigeonhole guarantee
-    return simhash_near_pairs(d, max_hamming=8, blocks=16)
+    return simhash_near_pairs(
+        d, max_hamming=4, blocks=8, bits=48, token_hash=md5_hash48
+    )
 
 
 def q_connected_components(spark, sf_dir) -> DataFrame:
@@ -866,24 +928,30 @@ def q_connected_components(spark, sf_dir) -> DataFrame:
 
 def q_minhash_dedup_cc(spark, sf_dir) -> DataFrame:
     """Near-dup removal with exact transitive clustering (LSH → Jaccard
-    verify → iterative connected components; rows-only check)."""
+    verify → iterative connected components) at threshold 1.0 over the
+    copy-augmented corpus. Equal-shingle-set groups are cliques
+    (equality is transitive), so the kept set is exactly the min-id
+    representative per group — the DuckDB oracle. Sub-1.0 thresholds and
+    chained-cluster semantics are pinned in pytest."""
     from synapse_etl_jobs_spark.operators.dedup_text import minhash_dedup_cc
 
-    d = _t(spark, sf_dir, "documents")
+    aug = _augmented_documents(spark, sf_dir)
     return minhash_dedup_cc(
-        d, threshold=0.6, shingle_k=5, num_hashes=32, bands=8
+        aug, threshold=1.0, shingle_k=5, num_hashes=32, bands=8
     ).select("doc_id", "lang", "n_chars")
 
 
 def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
-    """Full near-dup removal pipeline: LSH candidates → exact-Jaccard
-    verify → star-contraction representative (rows-only check)."""
+    """Full near-dup removal pipeline (LSH candidates → exact-Jaccard
+    verify → star-contraction representative) at threshold 1.0 over the
+    copy-augmented corpus — same oracle as the CC variant (cliques ⇒
+    star contraction is exact). Sub-1.0 behavior pinned in pytest."""
     from synapse_etl_jobs_spark.operators.dedup_text import minhash_dedup
 
-    d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.6, shingle_k=5, num_hashes=32, bands=8).select(
-        "doc_id", "lang", "n_chars"
-    )
+    aug = _augmented_documents(spark, sf_dir)
+    return minhash_dedup(
+        aug, threshold=1.0, shingle_k=5, num_hashes=32, bands=8
+    ).select("doc_id", "lang", "n_chars")
 
 
 def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
@@ -898,13 +966,17 @@ def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
 
 
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF-flat ANN, partial probe (the scale path; rows-only check —
-    recall pinned in pytest)."""
+    """IVF-flat ANN with PARTIAL probe (the scale path) over the
+    copy-augmented corpus, k=2: each query's probe list always contains
+    its own nearest cell, which is where its exact copies live, so the
+    output is deterministically the exact top-2 and the brute-force SQL
+    oracle gates centroid pick + assignment + probe join. General-vector
+    recall at partial probe is pinned in pytest."""
     from synapse_etl_jobs_spark.operators.similarity import ivf_topk
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    return ivf_topk(e, q, k=3, n_cells=8, n_probe=3)
+    aug = _double_copied_embeddings(spark, sf_dir)
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return ivf_topk(aug, q, k=2, n_cells=8, n_probe=3)
 
 
 def q_media_plumbing(spark, sf_dir) -> DataFrame:
@@ -986,6 +1058,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---- portable-hash SQL building blocks (mirror operators.text.md5_hash48
+# and the simhash/fingerprint formulas exactly) --------------------------
+
+# 48-bit hash: first 12 hex chars of md5 parsed base-16 (DuckDB has no
+# conv(); list_reduce over hex digit values is the equivalent)
+_MD5H48 = (
+    "list_reduce(list_transform(range(1, 13), i -> CAST(strpos("
+    "'0123456789abcdef', substring(md5({x}), CAST(i AS INT), 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+_DOC_AUG = """
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, n_chars FROM documents
+"""
+
+
+def _shingle_set_sql(k: int) -> str:
+    """Sorted distinct k-char shingle list of ``text`` (set-equality key:
+    two docs have Jaccard 1.0 iff these lists are equal)."""
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"range(1, greatest(length(text) - {k - 1}, 1) + 1), "
+        f"i -> substring(text, CAST(i AS INT), {k}))))"
+    )
+
+
+def _simhash_sig_cte(bits: int = 48) -> str:
+    """CTE chain ending in ``sig(doc_id, simhash)`` — the md5-hash48
+    SimHash, bit-for-bit the plan ``simhash_signatures(bits=48,
+    token_hash=md5_hash48)`` computes."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE 0 END) AS b{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    hx = _MD5H48.format(x="t.token")
+    return f"""
+ex AS (
+  SELECT doc_id, {hx} AS h
+  FROM documents, unnest({_TOKENS}) AS t(token)
+  WHERE t.token <> ''
+), sums AS (
+  SELECT doc_id, count(*) AS n, {votes}
+  FROM ex GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, CAST(coalesce({pack}, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sums USING (doc_id)
+)"""
+
+
+_MINHASH_DUP_PAIRS_ORACLE = f"""
+WITH aug AS ({_DOC_AUG}),
+sh AS (SELECT doc_id, {_shingle_set_sql(5)} AS s FROM aug)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+"""
+
+_MINHASH_DEDUP_ORACLE = f"""
+WITH aug AS ({_DOC_AUG}),
+sh AS (SELECT doc_id, lang, n_chars, {_shingle_set_sql(5)} AS s FROM aug)
+SELECT doc_id, lang, n_chars FROM sh a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sh o WHERE o.s = a.s AND o.doc_id < a.doc_id
+)
+"""
+
+# exact copies at +1M and +2M: top-2 per query is deterministically the
+# two copies (sim 1.0, id-ordered), which every signature/cell scheme
+# must find — gates the approximate ANN paths with the exact oracle
+_EMB_AUG2 = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+"""
+
+_ANN_COPY_ORACLE = f"""
+WITH aug AS ({_EMB_AUG2}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM aug WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+  FROM q JOIN aug c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
 _LANG_SCORE = (
     "len(list_filter({toks}, x -> list_contains({words}, lower(x))))"
 )
@@ -1249,6 +1419,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS record_date
             FROM events
         """,
+        "minhash_lsh_pairs": _MINHASH_DUP_PAIRS_ORACLE,
+        "minhash_dedup_full": _MINHASH_DEDUP_ORACLE,
+        "minhash_dedup_cc": _MINHASH_DEDUP_ORACLE,
+        "simhash": f"""
+            WITH {_simhash_sig_cte(48)}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_near_pairs": f"""
+            WITH {_simhash_sig_cte(48)}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
+        "doc_fingerprint": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS tk
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(tk, t -> {_MD5H48.format(x="t")}) AS hs
+              FROM toks
+            ), w AS (
+              SELECT doc_id, list_sort(list_distinct(list_filter(
+                       list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+                                      i -> list_min(list_slice(hs, i, i + 7))),
+                       x -> x IS NOT NULL))) AS fp
+              FROM h
+            )
+            SELECT doc_id, len(fp) AS n_fingerprints,
+                   list_min(fp) AS fp_min, list_max(fp) AS fp_max
+            FROM w
+        """,
+        "ann_lsh": _ANN_COPY_ORACLE,
+        "ann_ivf": _ANN_COPY_ORACLE,
         "cdc_lake_merge_mor": _CDC_ORACLE,
         "lake_schema_evolution": """
             WITH ev AS (

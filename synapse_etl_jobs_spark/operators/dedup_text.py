@@ -262,26 +262,38 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Corpus 64-bit SimHash via explode + per-bit conditional sums.
+    """Corpus ``bits``-bit SimHash via explode + per-bit conditional sums.
 
     (id, token) rows are exploded once, each token hashed once, then ONE
-    hash-aggregate computes all 64 bit-vote counts as agg columns —
+    hash-aggregate computes all bit-vote counts as agg columns —
     map-side partially aggregated, fully codegen (same pattern as
     ``minhash_signatures``). Documents with zero tokens get signature 0
     (restored by a left join — explode drops them). Output:
-    (id_col, simhash long). Bit-identical to ``simhash_column``.
+    (id_col, simhash long). Bit-identical to ``simhash_column`` at the
+    defaults.
+
+    ``token_hash`` (Column→Column) swaps the per-token hash: default is
+    seeded xxhash64 (production); ``operators.text.md5_hash48`` with
+    ``bits=48`` is the portable variant whose signatures an ANSI-SQL
+    oracle reproduces exactly — the aggregation plan is identical, only
+    the leaf hash expression differs.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64 (got {bits})")
+    hf = token_hash or (lambda t: F.xxhash64(t, F.lit(seed)))
     ex = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
-    ).select(id_col, F.xxhash64("_t", F.lit(seed)).alias("_h"))
+    ).select(id_col, hf(F.col("_t")).alias("_h"))
     aggs = [
         F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(64)
+        for b in range(bits)
     ] + [F.count("*").alias("_n")]
     sums = ex.groupBy(id_col).agg(*aggs)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         acc = acc + F.when(
             F.col(f"_b{b}") * 2 > F.col("_n"),
             F.shiftleft(F.lit(1).cast("long"), b),
@@ -306,15 +318,22 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     seed: int = 42,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` of 64-bit SimHash.
+    """Pairs within Hamming distance ``max_hamming`` of ``bits``-bit
+    SimHash.
 
-    Pigeonhole: split 64 bits into ``blocks`` (> max_hamming) blocks; any
-    pair within distance k agrees exactly on ≥1 block → equi-join per
-    block, then exact Hamming verify. Avoids the O(n²) compare.
+    Pigeonhole: split the bits into ``blocks`` (> max_hamming) blocks;
+    any pair within distance k agrees exactly on ≥1 block → equi-join per
+    block, then exact Hamming verify. Avoids the O(n²) compare — and
+    because the verify is exact, the output is EXACTLY the set of pairs
+    within the distance bound (an ANSI-SQL oracle can replicate it with
+    a brute-force bit_count(xor) compare when ``token_hash`` is the
+    portable md5 variant).
 
     The pigeonhole guarantee REQUIRES ``blocks > max_hamming`` (k
-    differing bits can otherwise hit every block) and ``64 % blocks ==
+    differing bits can otherwise hit every block) and ``bits % blocks ==
     0`` (else trailing bits belong to no block) — both are validated
     rather than silently losing recall.
     """
@@ -323,10 +342,13 @@ def simhash_near_pairs(
             f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole guarantee"
         )
-    if 64 % blocks != 0:
-        raise ValueError(f"64 must be divisible by blocks (got {blocks})")
-    width = 64 // blocks
-    sh = simhash_signatures(df, id_col=id_col, text_col=text_col, seed=seed).select(
+    if bits % blocks != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by blocks ({blocks})")
+    width = bits // blocks
+    sh = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, seed=seed,
+        bits=bits, token_hash=token_hash,
+    ).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
     )
     blocked = sh.select(

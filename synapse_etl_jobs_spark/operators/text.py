@@ -116,6 +116,17 @@ def detect_language(text_col: str = "text") -> Column:
     return expr
 
 
+def md5_hash48(c) -> Column:
+    """48-bit deterministic string hash that BOTH Spark and ANSI SQL can
+    compute: the first 12 hex chars of md5 parsed base-16 (DuckDB mirror:
+    ``list_reduce`` over hex digits). The portable alternative to
+    xxhash64 for oracle-checked paths — same fixture-free determinism,
+    lower throughput (md5 vs xxhash), so the xxhash64 default stays the
+    production path and this one gates correctness."""
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
 def char_shingles(c, k: int = 3) -> Column:
     """Distinct k-character shingles of a string (native, no UDF)."""
     col = c if isinstance(c, Column) else F.col(c)
@@ -127,13 +138,21 @@ def char_shingles(c, k: int = 3) -> Column:
     )
 
 
-def fingerprint(text_col: str = "text", window: int = 8) -> Column:
+def fingerprint(text_col: str = "text", window: int = 8, token_hash=None) -> Column:
     """Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
-    min xxhash64 over each sliding window of token hashes, distinct, sorted.
-    Robust to small edits; native expressions only."""
+    min token-hash over each sliding window of token hashes, distinct,
+    sorted. Robust to small edits; native expressions only.
+
+    ``token_hash``: Column→Column hash of one token; default xxhash64
+    (production), ``md5_hash48`` for the SQL-oracle-checked path. A
+    zero-token document yields an EMPTY fingerprint (window mins over no
+    hashes are null and are filtered out, matching the SQL mirror)."""
+    hf = token_hash or (lambda t: F.xxhash64(t))
     toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, hf)
     n = F.size(hashes)
     starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
     mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
-    return F.array_sort(F.array_distinct(mins))
+    return F.array_sort(
+        F.array_distinct(F.filter(mins, lambda x: x.isNotNull()))
+    )
