@@ -852,6 +852,205 @@ def q_lake_point_scan(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Catalog scan with pushdown (S3), SQL INSERT (S11), full reference job port
+# ---------------------------------------------------------------------------
+
+def q_catalog_pushdown_scan(spark, sf_dir) -> DataFrame:
+    """S3 parity: read a PARTITIONED table by catalog NAME with a
+    pushdown-predicate string (the Glue ``from_catalog(...,
+    push_down_predicate=...)`` contract,
+    /root/reference/src/scripts/backfill_jobs/backfill_kinesis_file_download_records.py:34-39).
+    The predicate's partition-column conjunct prunes record_date
+    directories at planning time (PartitionFilters); the rest pushes to
+    parquet. Predicate is sf-independent (day-of-month prefix)."""
+    from synapse_etl_jobs_spark.catalog import Catalog
+    from pyspark.sql.types import StructType
+
+    ev = _t(spark, sf_dir, "events")
+    path = _tmpdir("cat_scan_") + "/t"
+    (
+        ev.select(
+            "event_id", "event_type", F.round("value", 2).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd").alias("record_date"),
+        )
+        .write.partitionBy("record_date")
+        .parquet(path)
+    )
+    cat = Catalog(spark)
+    cat.register_hive(
+        "events_by_date", path,
+        StructType()
+        .add("event_id", "long").add("event_type", "string")
+        .add("value", "double").add("record_date", "string"),
+        ["record_date"],
+    )
+    return cat.table(
+        "events_by_date",
+        push_down_predicate=(
+            "substring(record_date, 9, 2) <= '10' AND event_type = 'click'"
+        ),
+    ).select("event_id", "event_type", "value", "record_date")
+
+
+def q_sql_insert_envelope(spark, sf_dir) -> DataFrame:
+    """S11 parity: ``INSERT INTO <partitioned table> SELECT ...`` doing
+    the Athena backfill's envelope reshape
+    (/root/reference/src/scripts/backfill_jobs/backfill_acl_snapshots_athena.sql:67-105):
+    literal stack injection (P7), changeType derivation from a timestamp
+    delta (P8), JSON scalar extraction (F2), epoch conversions (F11),
+    typed struct construction (N4), zero-padded year/month/day partition
+    columns (F12). The SELECT runs as Spark SQL over a registered view;
+    the read-back flattens the struct for the oracle compare."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_parquet("events_src", f"{sf_dir}/events.parquet")
+    cat.create_view("events_src")
+    snap_t = (
+        StructType()
+        .add("k", "integer").add("event_type", "string").add("value", "double")
+    )
+    schema = (
+        StructType()
+        .add("stack", "string").add("change_type", "string")
+        .add("change_timestamp", "long").add("user_id", "long")
+        .add("snapshot", snap_t)
+        .add("year", "string").add("month", "string").add("day", "string")
+    )
+    path = _tmpdir("sqlins_") + "/t"
+    cat.register_hive("envelope", path, schema, ["year", "month", "day"])
+    cat.insert_into("envelope", """
+        SELECT 'prod' AS stack,
+               CASE WHEN unix_millis(CAST(ts AS TIMESTAMP)) -
+                         min(unix_millis(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id) >= 1000
+                    THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+               unix_millis(CAST(ts AS TIMESTAMP)) AS change_timestamp,
+               user_id,
+               named_struct(
+                 'k', CAST(get_json_object(props, '$.k') AS INT),
+                 'event_type', event_type,
+                 'value', round(value, 2)
+               ) AS snapshot,
+               CAST(year(ts) AS STRING) AS year,
+               lpad(CAST(month(ts) AS STRING), 2, '0') AS month,
+               lpad(CAST(day(ts) AS STRING), 2, '0') AS day
+        FROM events_src
+    """)
+    return cat.table("envelope").select(
+        "stack", "change_type", "change_timestamp", "user_id",
+        F.col("snapshot.k").alias("k"),
+        F.col("snapshot.event_type").alias("event_type"),
+        F.col("snapshot.value").alias("value"),
+        "year", "month", "day",
+    )
+
+
+def _node_change_events(spark, sf_dir) -> DataFrame:
+    """Synthesize the node-snapshots change-event envelope (nested
+    ``snapshot`` struct with all 30 fields incl. arrays/structs) from the
+    events table — deterministic, so the DuckDB oracle can derive the
+    job's output directly from events."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+
+    def syn(c):
+        return F.concat(F.lit("syn"), c.cast("string"))
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        F.when(F.col("value") > 100, F.lit("UPDATE"))
+        .otherwise(F.lit("CREATE")).alias("changeType"),
+        ms.alias("changeTimestamp"),
+        uid.alias("userId"),
+        ms.alias("snapshotTimestamp"),
+        F.struct(
+            syn(eid).alias("id"),
+            syn(uid).alias("benefactorId"),
+            syn(F.pmod(eid, F.lit(97))).alias("projectId"),
+            syn(F.pmod(eid, F.lit(31))).alias("parentId"),
+            F.col("event_type").alias("nodeType"),
+            ms.alias("createdOn"),
+            uid.alias("createdByPrincipalId"),
+            (ms + 5000).alias("modifiedOn"),
+            uid.alias("modifiedByPrincipalId"),
+            F.pmod(eid, F.lit(5)).alias("versionNumber"),
+            syn(eid + 1).alias("fileHandleId"),
+            F.concat(F.lit("node-"), eid.cast("string")).alias("name"),
+            F.lit(None).cast("string").alias("versionComment"),
+            F.concat(F.lit("v"), F.pmod(eid, F.lit(5)).cast("string")).alias("versionLabel"),
+            F.lit(None).cast("string").alias("alias"),
+            syn(F.pmod(eid, F.lit(11))).alias("activityId"),
+            F.array(eid, eid + 1).alias("columnModelIds"),
+            F.array(syn(uid)).alias("scopeIds"),
+            F.array(
+                F.struct(
+                    syn(eid).alias("entityId"),
+                    F.pmod(eid, F.lit(3)).alias("versionNumber"),
+                )
+            ).alias("items"),
+            F.struct(
+                syn(eid).alias("targetId"),
+                F.pmod(eid, F.lit(7)).alias("targetVersionNumber"),
+            ).alias("reference"),
+            (F.pmod(eid, F.lit(2)) == 0).alias("isSearchEnabled"),
+            F.when(
+                F.col("event_type") == "view",
+                F.concat(F.lit("SELECT * FROM syn"), eid.cast("string")),
+            ).alias("definingSQL"),
+            (F.pmod(uid, F.lit(2)) == 0).alias("isPublic"),
+            (F.pmod(uid, F.lit(3)) == 0).alias("isControlled"),
+            (F.pmod(uid, F.lit(5)) == 0).alias("isRestricted"),
+            F.array(syn(F.pmod(eid, F.lit(13)))).alias("effectiveArs"),
+            F.col("props").alias("annotations"),
+            F.get_json_object("props", "$.k").alias("derivedAnnotations"),
+            F.lit(None).cast("string").alias("internalAnnotations"),
+            F.sequence(F.lit(1).cast("long"), F.pmod(eid, F.lit(3)) + 1).alias("versionHistory"),
+            F.struct(
+                uid.alias("storageLocationId"),
+                F.floor(F.col("value") * 1000).cast("long").alias("sumFileSizesBytes"),
+            ).alias("projectStorageUsage"),
+        ).alias("snapshot"),
+    )
+
+
+def q_node_snapshots_job(spark, sf_dir) -> DataFrame:
+    """The complete node-snapshots job port (34-column mapping incl. the
+    dual timestamp mapping and nested arrays/structs, then partition-date
+    + syn-id normalization — jobs/node_snapshots.py). The output
+    projects arrays/structs to scalars (sizes, members) so the oracle
+    compare is representation-stable; the job itself keeps them."""
+    from synapse_etl_jobs_spark.jobs import node_snapshots
+
+    out = node_snapshots(_node_change_events(spark, sf_dir))
+    return out.select(
+        "change_type",
+        F.unix_millis("change_timestamp").alias("change_ms"),
+        "change_user_id",
+        F.unix_millis("snapshot_timestamp").alias("snapshot_ms"),
+        "snapshot_date",
+        "id", "benefactor_id", "project_id", "parent_id", "node_type",
+        F.unix_millis("created_on").alias("created_ms"),
+        "created_by",
+        F.unix_millis("modified_on").alias("modified_ms"),
+        "modified_by", "version_number", "file_handle_id",
+        "name", "version_comment", "version_label", "alias", "activity_id",
+        F.size("column_model_ids").alias("n_column_models"),
+        F.size("scope_ids").alias("n_scope_ids"),
+        F.element_at("items", 1)["versionNumber"].alias("first_item_version"),
+        F.col("reference")["targetId"].alias("reference_target"),
+        "is_search_enabled", "defining_sql",
+        "is_public", "is_controlled", "is_restricted",
+        F.size("effective_ars").alias("n_effective_ars"),
+        "annotations", "derived_annotations", "internal_annotations",
+        F.size("version_history").alias("n_version_history"),
+        F.col("project_storage_usage")["sumFileSizesBytes"].alias("storage_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event-time windowed aggregation (streaming surface, batch-checked)
 # ---------------------------------------------------------------------------
 
@@ -1054,6 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_full": q_minhash_dedup_full,
         "connected_components": q_connected_components,
         "minhash_dedup_cc": q_minhash_dedup_cc,
+        "catalog_pushdown_scan": q_catalog_pushdown_scan,
+        "sql_insert_envelope": q_sql_insert_envelope,
+        "node_snapshots_job": q_node_snapshots_job,
     }
 
 
@@ -1482,6 +1684,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'DELETE'
               AND user_id BETWEEN 1 AND 10
+        """,
+        "catalog_pushdown_scan": """
+            SELECT event_id, event_type, round(value, 2) AS value,
+                   strftime(ts, '%Y-%m-%d') AS record_date
+            FROM events
+            WHERE strftime(ts, '%d') <= '10' AND event_type = 'click'
+        """,
+        "sql_insert_envelope": """
+            SELECT 'prod' AS stack,
+                   CASE WHEN epoch_ms(ts) -
+                             min(epoch_ms(ts)) OVER (PARTITION BY user_id) >= 1000
+                        THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   epoch_ms(ts) AS change_timestamp,
+                   user_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   event_type,
+                   round(value, 2) AS value,
+                   strftime(ts, '%Y') AS year,
+                   strftime(ts, '%m') AS month,
+                   strftime(ts, '%d') AS day
+            FROM events
+        """,
+        "node_snapshots_job": """
+            SELECT CASE WHEN value > 100 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   epoch_ms(ts) AS change_ms,
+                   user_id AS change_user_id,
+                   epoch_ms(ts) AS snapshot_ms,
+                   strftime(ts, '%Y-%m-%d') AS snapshot_date,
+                   event_id AS id,
+                   user_id AS benefactor_id,
+                   event_id % 97 AS project_id,
+                   event_id % 31 AS parent_id,
+                   event_type AS node_type,
+                   epoch_ms(ts) AS created_ms,
+                   user_id AS created_by,
+                   epoch_ms(ts) + 5000 AS modified_ms,
+                   user_id AS modified_by,
+                   event_id % 5 AS version_number,
+                   event_id + 1 AS file_handle_id,
+                   'node-' || CAST(event_id AS VARCHAR) AS name,
+                   CAST(NULL AS VARCHAR) AS version_comment,
+                   'v' || CAST(event_id % 5 AS VARCHAR) AS version_label,
+                   CAST(NULL AS VARCHAR) AS alias,
+                   event_id % 11 AS activity_id,
+                   2 AS n_column_models,
+                   1 AS n_scope_ids,
+                   event_id % 3 AS first_item_version,
+                   'syn' || CAST(event_id AS VARCHAR) AS reference_target,
+                   event_id % 2 = 0 AS is_search_enabled,
+                   CASE WHEN event_type = 'view'
+                        THEN 'SELECT * FROM syn' || CAST(event_id AS VARCHAR)
+                   END AS defining_sql,
+                   user_id % 2 = 0 AS is_public,
+                   user_id % 3 = 0 AS is_controlled,
+                   user_id % 5 = 0 AS is_restricted,
+                   1 AS n_effective_ars,
+                   props AS annotations,
+                   json_extract_string(props, '$.k') AS derived_annotations,
+                   CAST(NULL AS VARCHAR) AS internal_annotations,
+                   event_id % 3 + 1 AS n_version_history,
+                   CAST(floor(value * 1000) AS BIGINT) AS storage_bytes
+            FROM events
         """,
         "connected_components": """
             WITH RECURSIVE pairs AS (

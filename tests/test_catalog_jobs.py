@@ -1,0 +1,119 @@
+"""Catalog registry (S3 parity), SQL INSERT (S11 parity), and the
+node-snapshots job port (drift tolerance + syn-id normalization)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.catalog import Catalog
+from synapse_etl_jobs_spark.jobs import node_snapshots
+from synapse_etl_jobs_spark.lake import LakeTable
+
+
+def _hive_schema():
+    return (
+        StructType()
+        .add("id", "long").add("v", "string").add("month", "string")
+    )
+
+
+def test_catalog_parquet_and_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(p)
+    cat = Catalog(spark)
+    cat.register_parquet("t", p)
+    got = cat.table("t", push_down_predicate="id >= 90 AND v % 4 = 0")
+    assert got.count() == 5
+    with pytest.raises(KeyError):
+        cat.table("nope")
+
+
+def test_catalog_hive_partition_types_not_inferred(spark, tmp_path):
+    """Zero-padded month partition values must stay strings ('03'), not
+    be inferred as integers — the registered schema wins."""
+    p = str(tmp_path / "h")
+    cat = Catalog(spark)
+    cat.register_hive("h", p, _hive_schema(), ["month"])
+    # empty before any insert
+    assert cat.table("h").count() == 0
+    df = spark.createDataFrame(
+        [(1, "a", "03"), (2, "b", "03"), (3, "c", "11")],
+        "id long, v string, month string",
+    )
+    df.createOrReplaceTempView("src")
+    n = cat.insert_into("h", "SELECT id, v, month FROM src")
+    assert n == 3
+    back = cat.table("h")
+    assert dict(back.dtypes)["month"] == "string"
+    assert sorted(r["month"] for r in back.select("month").distinct().collect()) \
+        == ["03", "11"]
+    # partition pruning predicate works on the string value
+    assert cat.table("h", push_down_predicate="month = '03'").count() == 2
+    # appends accumulate; column-name matching is positional-free
+    n2 = cat.insert_into("h", "SELECT month, v, id FROM src WHERE id = 1")
+    assert n2 == 1 and cat.table("h").count() == 4
+
+
+def test_catalog_insert_validates(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.register_hive("h2", str(tmp_path / "h2"), _hive_schema(), ["month"])
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .createOrReplaceTempView("src2")
+    with pytest.raises(ValueError, match="missing columns"):
+        cat.insert_into("h2", "SELECT id, v FROM src2")
+    cat.register_parquet("notahive", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        cat.insert_into("notahive", "SELECT 1")
+
+
+def test_catalog_lake_read(spark, tmp_path):
+    schema = StructType().add("k", "long").add("v", "string")
+    t = LakeTable.create(spark, str(tmp_path / "lk"), schema, ["k"], num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("UPSERT", 1, 10, "x"), ("UPSERT", 2, 10, "y"), ("UPSERT", 3, 20, "z")],
+        "op string, seq long, k long, v string",
+    ), batch_id=0)
+    cat = Catalog(spark)
+    cat.register_lake("lk", str(tmp_path / "lk"))
+    got = {(r["k"], r["v"]) for r in cat.table("lk").collect()}
+    assert got == {(10, "y"), (20, "z")}
+    assert cat.table("lk", push_down_predicate="k = 20").count() == 1
+
+
+def _envelope(spark, rows):
+    """Minimal nested node-change envelope for job tests."""
+    return spark.createDataFrame(
+        rows,
+        "changeType string, changeTimestamp long, userId long, "
+        "snapshotTimestamp long, snapshot struct<id:string, "
+        "benefactorId:string, nodeType:string, createdOn:long, "
+        "versionNumber:long, name:string>",
+    )
+
+
+def test_node_snapshots_job_core_semantics(spark):
+    ms = 1_700_000_000_000  # 2023-11-14 UTC
+    df = _envelope(spark, [
+        ("CREATE", ms, 7, ms,
+         ("syn123.4", "syn0008", "file", ms, 1, "n1")),
+        ("DELETE", ms, None, ms + 86_400_000,
+         (None, "garbage", "folder", ms, 2, "n2")),
+    ])
+    out = node_snapshots(df)
+    rows = {r["name"]: r for r in out.collect()}
+    # syn-id normalization: prefix + version suffix stripped; garbage → null
+    assert rows["n1"]["id"] == 123 and rows["n1"]["benefactor_id"] == 8
+    assert rows["n2"]["id"] is None and rows["n2"]["benefactor_id"] is None
+    # dual mapping: timestamp column AND partition date from the same source
+    assert rows["n1"]["snapshot_date"] == "2023-11-14"
+    assert rows["n2"]["snapshot_date"] == "2023-11-15"
+    assert str(rows["n1"]["snapshot_timestamp"]).startswith("2023-11-14")
+    # the full mapped schema materializes even though the input snapshot
+    # struct carried only 6 fields (drift tolerance: typed nulls)
+    from synapse_etl_jobs_spark.jobs import NODE_SNAPSHOTS_MAPPING
+    assert len(out.columns) == len(NODE_SNAPSHOTS_MAPPING) == 36
+    assert rows["n1"]["is_public"] is None
+    assert rows["n1"]["project_id"] is None  # missing nested field → null long
+    assert dict(out.dtypes)["created_on"] == "timestamp"

@@ -57,6 +57,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("embedding_dedup_lsh", [], ["CartesianProduct", "BatchEvalPython"]),
     # event-time windows: hash aggregate over the window struct, no sort
     ("tumbling_window", ["HashAggregate"], ["BatchEvalPython"]),
+    # catalog pushdown: the predicate's partition conjunct must land in
+    # PartitionFilters (directory pruning), the rest in PushedFilters
+    ("catalog_pushdown_scan",
+     ["PartitionFilters: [isnotnull(record_date", "(substring(record_date",
+      "PushedFilters: [IsNotNull(event_type)"],
+     ["BatchEvalPython"]),
+    # the 34-column job port is one fused projection — no Python anywhere
+    ("node_snapshots_job", ["Project"], ["BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
