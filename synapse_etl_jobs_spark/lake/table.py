@@ -101,6 +101,35 @@ def _footer_stats(files: list[str], seq_col: str) -> dict[str, Any]:
     return {"rows": rows, "bytes": nbytes, "seq_min": seq_min, "seq_max": seq_max}
 
 
+# above this many files, footer stats are parsed by a Spark job instead
+# of a serial driver loop (the O(files) driver term at thousands of
+# files per batch); below it, the job-launch overhead isn't worth it
+_FOOTER_STATS_DISTRIBUTE_THRESHOLD = 32
+
+
+def _footer_stats_many(
+    files: list[str], seq_col: str, spark: "SparkSession | None" = None
+) -> dict[str, dict[str, Any]]:
+    """Per-file footer stats for a commit's file set.
+
+    Small batches parse on the driver (cheap, no job). Large batches run
+    ONE parallelize job over the FILE LIST — each task parses footers
+    only (metadata, no data pages), so commit cost stays flat as batch
+    file count grows instead of becoming the Amdahl term of the ingest
+    path. This is per-file orchestration, not per-row Python — the row
+    path stays entirely JVM-side.
+    """
+    if spark is not None and len(files) > _FOOTER_STATS_DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        slices = min(len(files), max(sc.defaultParallelism, 1))
+        return dict(
+            sc.parallelize(files, slices)
+            .map(lambda fp: (fp, _footer_stats([fp], seq_col)))
+            .collect()
+        )
+    return {fp: _footer_stats([fp], seq_col) for fp in files}
+
+
 def _sum_stats(stats: "Iterable[dict[str, Any]]") -> dict[str, Any]:
     """Aggregate per-file footer stats (so each footer is parsed once)."""
     out: dict[str, Any] = {"rows": 0, "bytes": 0, "seq_min": None, "seq_max": None}
@@ -478,14 +507,12 @@ class LakeTable:
         staged = _list_parquet_files(stage_dir)
 
         # affected buckets + lineage stats from parquet footers; each
-        # staged footer is parsed ONCE (driver-side serial path) and the
-        # per-file stats reused by the commit loop below in mor mode
+        # staged footer is parsed ONCE (distributed above the file-count
+        # threshold) and reused by the commit loop below in mor mode
         affected = sorted(staged)
-        staged_file_stats = {
-            fp: _footer_stats([fp], SEQ_COL)
-            for fps in staged.values()
-            for fp in fps
-        }
+        staged_file_stats = _footer_stats_many(
+            [fp for fps in staged.values() for fp in fps], SEQ_COL, self.spark
+        )
         src_stats = _sum_stats(staged_file_stats.values())
 
         if mode == "cow" and affected:
@@ -515,6 +542,17 @@ class LakeTable:
         else:
             written = staged
 
+        # cow rewrites produce NEW files (≠ staged): batch-parse their
+        # footers the same way instead of one serial parse per file
+        written_stats = (
+            staged_file_stats
+            if written is staged
+            else _footer_stats_many(
+                [fp for b in affected for fp in written.get(b, [])],
+                SEQ_COL, self.spark,
+            )
+        )
+
         new_buckets = dict(m.buckets)
         kind = "base" if mode == "cow" else "delta"
         files_written, bytes_written, rows_written = 0, 0, 0
@@ -524,7 +562,7 @@ class LakeTable:
             for fp in written.get(b, []):
                 entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
                 entries.append(entry)
-                fstats = staged_file_stats.get(fp) or _footer_stats([fp], SEQ_COL)
+                fstats = written_stats[fp]
                 files_written += 1
                 rows_written += fstats["rows"]
                 bytes_written += fstats["bytes"]
