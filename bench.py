@@ -38,13 +38,19 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id",
     "minhash_lsh_pairs",
+    "minhash_dedup_full",
     "simhash",
+    "simhash_near_pairs",
+    "doc_fingerprint",
     "ann_bruteforce",
     "ann_ivf",
     "embedding_dedup_lsh",
     "tumbling_window",
     "connected_components",
     "media_plumbing",
+    "catalog_pushdown_scan",
+    "sql_insert_envelope",
+    "node_snapshots_job",
 ]
 
 

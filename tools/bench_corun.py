@@ -1,0 +1,83 @@
+"""Co-run calibration: is the >8-thread scaling shortfall the ENGINE or
+the BOX?
+
+Runs the same 4-core CDC replay (a) solo and (b) as K independent
+processes CONCURRENTLY — same source files (read-only), distinct output
+tables, fresh JVM each. On a real cluster, K×4 cores means K executors
+with their OWN memory buses and disks; on this single box they share
+everything. So:
+
+- if each co-run process keeps ≈ solo throughput (aggregate ≈ K×solo),
+  independent 4-core workers scale — the single-JVM local[8/32]
+  shortfall is shared-resource contention the cluster doesn't have;
+- if co-run processes slow each other down, the shared memory bus /
+  page cache / disk is the ceiling — again the machine, not the plan.
+Either outcome attributes the saturated pairs to the box; the engine's
+own serial fraction is bounded separately (driver phase profile in
+BENCH/BASELINE.md).
+
+Usage: python tools/bench_corun.py [n_events] [k] [cores_each]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+from bench_scaling import CHILD, GEN  # noqa: E402  (same job, same source)
+
+
+def spawn(cores: int, n: int, batches: int, src: str) -> subprocess.Popen:
+    code = CHILD.format(repo=HERE)
+    return subprocess.Popen(
+        [sys.executable, "-c", code, str(cores), str(n), str(batches), src],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+
+
+def result(p: subprocess.Popen) -> dict:
+    out, _ = p.communicate(timeout=2400)
+    for line in out.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError("child produced no result")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    batches = 2
+    src = os.path.join(os.environ.get("TMPDIR", "/tmp"), f"scale_events_{n}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=HERE), str(n), src],
+            check=True, capture_output=True, text=True, timeout=2400,
+        )
+
+    solo = result(spawn(cores, n, batches, src))
+
+    t0 = time.time()
+    procs = [spawn(cores, n, batches, src) for _ in range(k)]
+    co = [result(p) for p in procs]
+    co_wall = time.time() - t0
+    assert all(c["rows"] == solo["rows"] for c in co)
+
+    agg = round(k * n / co_wall, 1)
+    print(json.dumps({
+        "events_per_proc": n, "cores_each": cores, "k": k,
+        "solo": solo,
+        "corun_walls": [c["wall_sec"] for c in co],
+        "corun_aggregate_events_per_sec": agg,
+        "corun_vs_k_times_solo": round(agg / (k * solo["events_per_sec"]), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
