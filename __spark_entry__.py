@@ -825,6 +825,57 @@ def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lake_time_travel(spark, sf_dir) -> DataFrame:
+    """Time travel: replay in two batches, read the snapshot AS OF the
+    first batch's commit — the second batch must be invisible (manifest
+    immutability; Iceberg VERSION AS OF)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    split = ev.agg(F.max("seq")).collect()[0][0] // 2  # batch boundary setup
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_tt_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=8)
+    table.merge(ev.filter(F.col("seq") <= split), batch_id=0)
+    table.merge(ev.filter(F.col("seq") > split), batch_id=1)
+    return table.read_version(1).select("user_id", "event_type", "value")
+
+
+def q_lake_changes(spark, sf_dir) -> DataFrame:
+    """Incremental CDC-out: replay 3 merge-on-read batches, then read
+    the net changes committed AFTER version 1 — exactly the LWW
+    reduction of the last two seq windows, tombstones included (the
+    changelog a downstream consumer would apply)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_ch_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    ReplayDriver(table, num_batches=3).replay(ev)
+    return table.changes(since_version=1).select(
+        "user_id", "event_type", "value",
+        F.col("_seq").alias("seq"), F.col("_deleted").alias("deleted"),
+    )
+
+
 def q_lake_point_scan(spark, sf_dir) -> DataFrame:
     """Bucket-pruned point lookup: scan_keys touches only the buckets the
     probe keys hash to (hash-bucket partition pruning)."""
@@ -1246,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
+        "lake_time_travel": q_lake_time_travel,
+        "lake_changes": q_lake_changes,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
@@ -1746,6 +1799,36 @@ def oracle_sql() -> dict[str, str]:
                    event_id % 3 + 1 AS n_version_history,
                    CAST(floor(value * 1000) AS BIGINT) AS storage_bytes
             FROM events
+        """,
+        "lake_time_travel": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+            ), first_batch AS (
+              SELECT * FROM ev WHERE seq <= (SELECT max(event_id) // 2 FROM events)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM first_batch
+            )
+            SELECT user_id, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+        """,
+        "lake_changes": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+            ), tail AS (
+              -- windows 1..2 of the 3-batch replay: seq >= ceil((max+1)/3)
+              SELECT * FROM ev
+              WHERE seq >= (SELECT (max(event_id) + 3) // 3 FROM events)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM tail
+            )
+            SELECT user_id, event_type, value, seq, op = 'DELETE' AS deleted
+            FROM ranked WHERE rn = 1
         """,
         "connected_components": """
             WITH RECURSIVE pairs AS (

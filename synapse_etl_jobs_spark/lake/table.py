@@ -350,6 +350,76 @@ class LakeTable:
             SEQ_COL, DELETED_COL
         )
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the snapshot as of ``version`` (manifests are
+        immutable; this is a load of the old pointer — Iceberg
+        ``VERSION AS OF`` semantics). Data files referenced by old
+        manifests survive until ``vacuum`` expires them."""
+        return LakeTable.load(self.spark, self.path, version=version).read()
+
+    def changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental CDC-out: the net row changes committed in table
+        versions ``(since_version, to_version]``.
+
+        Merge-on-read commits record exactly the delta files each
+        version appended, so the changes are READ, not computed — cost
+        is O(changed data) regardless of table size (the property that
+        lets downstream consumers tail this table like a changelog,
+        Iceberg incremental-scan semantics). The result is LWW-reduced
+        per key across the selected versions and keeps tombstones as
+        ``_deleted = true`` rows plus the winning ``_seq`` — i.e. it IS
+        a change-event batch a second LakeTable (or any LWW consumer)
+        can apply directly.
+
+        Versions that rewrite base files (copy-on-write merges,
+        ``compact``) carry no per-row change record — selecting across
+        one raises; diff two ``read_version`` snapshots for those.
+        """
+        m = self.manifest
+        to_version = m.table_version if to_version is None else to_version
+        if not 0 <= since_version <= to_version <= m.table_version:
+            raise ValueError(
+                f"invalid version range ({since_version}, {to_version}] "
+                f"for table at version {m.table_version}"
+            )
+
+        def entry_paths(man: Manifest) -> set[str]:
+            return {
+                e["path"] for lst in man.buckets.values() for e in lst
+            }
+
+        prev = LakeTable.load(self.spark, self.path, version=since_version).manifest
+        new_entries: list[dict[str, Any]] = []
+        for v in range(since_version + 1, to_version + 1):
+            cur = LakeTable.load(self.spark, self.path, version=v).manifest
+            added_paths = entry_paths(cur) - entry_paths(prev)
+            added = [
+                e
+                for lst in cur.buckets.values()
+                for e in lst
+                if e["path"] in added_paths
+            ]
+            if any(e.get("kind", "base") != "delta" for e in added):
+                raise ValueError(
+                    f"version {v} rewrote base files (copy-on-write merge or "
+                    "compaction) — no per-row change record exists; diff "
+                    "read_version snapshots instead"
+                )
+            new_entries.extend(added)
+            prev = cur
+
+        if not new_entries:
+            schema = m.current_schema().add(SEQ_COL, "long", True).add(
+                DELETED_COL, "boolean", True
+            )
+            return self.spark.createDataFrame([], schema)
+        # epoch resolution (renames / added columns) comes from the
+        # CURRENT manifest — schemas are append-only across versions
+        df = self._read_files(new_entries)
+        return dedup_lww(df, m.key_cols, SEQ_COL)
+
     def scan_keys(self, key_values: Sequence[tuple]) -> DataFrame:
         """Bucket-pruned point scan: read only the buckets that can contain
         the given ``bucket_cols`` value tuples (the payoff of hash

@@ -1,0 +1,97 @@
+"""Time travel + incremental CDC-out (LakeTable.read_version / changes):
+version isolation, changelog exactness, tombstone passthrough,
+replication roundtrip, and the copy-on-write guard."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+
+SCHEMA = StructType().add("k", "long").add("v", "string")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+
+def _mk(spark, tmp_path, name, mode="mor"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, ["k"], num_buckets=4, write_mode=mode
+    )
+
+
+def test_read_version_isolates_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b")]), batch_id=0)
+    t.merge(_ev(spark, [("UPSERT", 3, 1, "a2"), ("DELETE", 4, 2, None)]), batch_id=1)
+    v1 = {(r["k"], r["v"]) for r in t.read_version(1).collect()}
+    v2 = {(r["k"], r["v"]) for r in t.read_version(2).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+    assert v2 == {(1, "a2")}
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == v2
+
+
+def test_changes_exact_window_and_tombstones(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b")]), batch_id=0)
+    t.merge(_ev(spark, [("UPSERT", 3, 1, "a2")]), batch_id=1)
+    t.merge(_ev(spark, [("DELETE", 4, 2, None), ("UPSERT", 5, 3, "c")]), batch_id=2)
+    ch = {(r["k"], r["v"], r["_seq"], r["_deleted"])
+          for r in t.changes(since_version=1).collect()}
+    # only versions 2-3: k=1 updated, k=2 tombstoned, k=3 inserted
+    assert ch == {(1, "a2", 3, False), (2, None, 4, True), (3, "c", 5, False)}
+    # LWW across the selected versions: an update superseded within the
+    # range appears once, with the winning seq
+    ch23 = t.changes(since_version=0)
+    assert ch23.filter(F.col("k") == 1).count() == 1
+    assert ch23.filter(F.col("k") == 1).first()["_seq"] == 3
+    # empty range → empty frame with the changelog schema
+    empty = t.changes(since_version=t.manifest.table_version)
+    assert empty.count() == 0 and "_deleted" in empty.columns
+
+
+def test_changes_feed_replicates_table(spark, tmp_path):
+    """Applying the changes() feed to a second table reproduces the
+    source state — changes() IS a valid CDC stream."""
+    src = _mk(spark, tmp_path, "src")
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b")]), batch_id=0)
+    dst = _mk(spark, tmp_path, "dst")
+    dst.merge(
+        src.changes(0).withColumn(
+            "op", F.when(F.col("_deleted"), "DELETE").otherwise("UPSERT")
+        ),
+        op_col="op", seq_col="_seq", batch_id="sync0",
+    )
+    src.merge(_ev(spark, [("DELETE", 3, 1, None), ("UPSERT", 4, 3, "c")]), batch_id=1)
+    dst.merge(
+        src.changes(1).withColumn(
+            "op", F.when(F.col("_deleted"), "DELETE").otherwise("UPSERT")
+        ),
+        op_col="op", seq_col="_seq", batch_id="sync1",
+    )
+    a = src.read().select("k", "v")
+    b = dst.read().select("k", "v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.count() == 2
+
+
+def test_changes_rejects_cow_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t", mode="cow")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    with pytest.raises(ValueError, match="rewrote base files"):
+        t.changes(0)
+    # compaction of a MoR table likewise breaks the change record
+    m = _mk(spark, tmp_path, "m")
+    m.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    m.compact()
+    with pytest.raises(ValueError, match="rewrote base files"):
+        m.changes(0)
+    # but a range strictly BEFORE the compaction still works
+    assert m.changes(0, to_version=1).count() == 1
+
+
+def test_changes_bad_range(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    with pytest.raises(ValueError, match="invalid version range"):
+        t.changes(5)
