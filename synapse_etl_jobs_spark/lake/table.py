@@ -692,12 +692,28 @@ class LakeTable:
             "mode": mode,
         }
 
-    def compact(self, *, drop_tombstones: bool = True) -> dict:
+    def compact(
+        self,
+        *,
+        drop_tombstones: bool = True,
+        buckets: Sequence[int] | None = None,
+        min_files: int = 1,
+    ) -> dict:
         """Maintenance rewrite (Iceberg ``rewrite_data_files`` analog):
-        coalesce each bucket's files and optionally GC tombstones. The
-        rewrite goes through the salted bucket write, so a hot bucket is
+        coalesce bucket files and optionally GC tombstones. The rewrite
+        goes through the salted bucket write, so a hot bucket is
         rewritten by ``write_salt`` tasks (≤ ``write_salt`` output files
         per bucket) instead of one straggler.
+
+        SELECTIVE by default shape: only buckets with ≥ ``min_files``
+        file entries are rewritten (or exactly the explicit ``buckets``
+        list); everything else keeps its current entries untouched.
+        Keys never cross buckets, so per-bucket compaction is exact. A
+        continuously-ingesting table runs ``compact(min_files=K)`` on a
+        schedule and pays O(small-file backlog), not O(table) — the
+        maintenance loop that keeps read amplification flat at 10^10
+        events. ``min_files=1`` (default) rewrites every non-empty
+        bucket: full compaction, the round-1 behavior.
 
         Tombstones are safe to drop once no replay can deliver events older
         than the tombstone's seq — i.e. after the stream's checkpoint has
@@ -705,11 +721,19 @@ class LakeTable:
         owns that retention decision.
         """
         m = self.manifest
-        buckets = sorted(int(b) for b, lst in m.buckets.items() if lst)
-        if not buckets:
-            return {"applied": False, "reason": "empty table"}
-        entries = [e for b in buckets for e in m.buckets[str(b)]]
-        df = self._current_view(entries)  # folds MoR deltas
+        nonempty = sorted(int(b) for b, lst in m.buckets.items() if lst)
+        if buckets is not None:
+            wanted = set(int(b) for b in buckets)
+            victims = [b for b in nonempty if b in wanted]
+        else:
+            victims = [
+                b for b in nonempty
+                if len(m.buckets[str(b)]) >= max(int(min_files), 1)
+            ]
+        if not victims:
+            return {"applied": False, "reason": "nothing to compact"}
+        entries = [e for b in victims for e in m.buckets[str(b)]]
+        df = self._current_view(entries)  # folds MoR deltas (victims only — exact: keys never cross buckets)
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -718,15 +742,16 @@ class LakeTable:
         commit_dir = os.path.join(
             self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
         )
-        self._salted_bucket_write(df, commit_dir, min_tasks=len(buckets))
+        self._salted_bucket_write(df, commit_dir, min_tasks=len(victims))
         written = _list_parquet_files(commit_dir)
-        new_buckets = {
+        new_buckets = dict(m.buckets)
+        new_buckets.update({
             str(b): [
                 {"path": fp, "schema_id": m.current_schema_id, "kind": "base"}
                 for fp in written.get(b, [])
             ]
-            for b in buckets
-        }
+            for b in victims
+        })
         new_manifest = Manifest(
             table_version=new_version,
             key_cols=m.key_cols,
@@ -742,6 +767,7 @@ class LakeTable:
         self._commit_manifest(self.path, new_manifest)
         self.manifest = new_manifest
         return {"applied": True, "table_version": new_version,
+                "compacted_buckets": victims,
                 "files": sum(len(v) for v in written.values())}
 
     def vacuum(self, *, retain_versions: int = 1) -> dict:

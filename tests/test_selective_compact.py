@@ -1,0 +1,58 @@
+"""Selective compaction: only the small-file backlog is rewritten;
+untouched buckets keep their exact file entries, and reads are
+unchanged before/after."""
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+
+SCHEMA = StructType().add("k", "long").add("v", "string")
+
+
+def _merge_range(spark, t, seq0, keys):
+    rows = [("UPSERT", seq0 + i, k, f"v{seq0 + i}") for i, k in enumerate(keys)]
+    t.merge(
+        spark.createDataFrame(rows, "op string, seq long, k long, v string"),
+        batch_id=f"b{seq0}",
+    )
+
+
+def test_selective_compact_rewrites_only_backlog(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        num_buckets=4, write_mode="mor", write_salt=1,
+    )
+    # every merge appends delta files to the buckets its keys hash to;
+    # after several merges the touched buckets carry a file backlog
+    for i in range(4):
+        _merge_range(spark, t, 100 * i, range(40))
+    before = {b: [e["path"] for e in lst] for b, lst in t.manifest.buckets.items()}
+    backlog = [int(b) for b, fps in before.items() if len(fps) >= 4]
+    quiet = [int(b) for b, fps in before.items() if 0 < len(fps) < 4]
+    state_before = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    s = t.compact(min_files=4, drop_tombstones=False)
+    assert s["applied"] and sorted(s["compacted_buckets"]) == sorted(backlog)
+    after = {b: [e["path"] for e in lst] for b, lst in t.manifest.buckets.items()}
+    for b in quiet:  # untouched buckets keep their exact entries
+        assert after[str(b)] == before[str(b)]
+    for b in backlog:  # rewritten buckets have new, fewer files
+        assert after[str(b)] != before[str(b)]
+        assert len(after[str(b)]) < len(before[str(b)])
+        assert all(e["kind"] == "base" for e in t.manifest.buckets[str(b)])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == state_before
+
+
+def test_explicit_bucket_list_and_noop(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], num_buckets=4, write_mode="mor"
+    )
+    _merge_range(spark, t, 0, range(20))
+    v = t.manifest.table_version
+    assert t.compact(min_files=99)["applied"] is False  # nothing qualifies
+    assert t.manifest.table_version == v  # no empty commit
+    target = int(next(b for b, lst in t.manifest.buckets.items() if lst))
+    s = t.compact(buckets=[target])
+    assert s["compacted_buckets"] == [target]
+    assert t.read().count() == 20
