@@ -554,9 +554,9 @@ def _synth_user_agents(spark, sf_dir) -> DataFrame:
     return c.select("c_custkey", arms.alias("user_agent"))
 
 
-def _ua_case_sql(field: int) -> str:
+def _ua_case_sql(field: int, key: str = "c_custkey") -> str:
     arms = " ".join(
-        f"WHEN c_custkey % 6 = {i} THEN "
+        f"WHEN {key} % 6 = {i} THEN "
         + ("NULL" if _UA_CASES[i][field] is None else f"'{_UA_CASES[i][field]}'")
         for i in range(6)
     )
@@ -1101,6 +1101,69 @@ def q_node_snapshots_job(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_access_record_job(spark, sf_dir) -> DataFrame:
+    """The complete access-record job port (24-column payload mapping →
+    signature/client/version/entity derivation → partition date +
+    instance strip, jobs/process_access_record.py) over a synthesized
+    payload envelope derived deterministically from events — so the
+    oracle computes the same output straight from events."""
+    from synapse_etl_jobs_spark.jobs import process_access_records
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ua = F.when(F.pmod(uid, F.lit(6)) == 0, F.lit(_UA_CASES[0][0]))
+    for i in range(1, 6):
+        ua = ua.when(F.pmod(uid, F.lit(6)) == i, F.lit(_UA_CASES[i][0]))
+    url = F.when(
+        F.pmod(eid, F.lit(3)) == 0,
+        F.concat(F.lit("repo/entity/syn"), eid.cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("/repo/v1/entity/syn"), eid.cast("string"),
+            F.lit("/wiki/"), uid.cast("string"),
+        )
+    )
+    success = F.pmod(eid, F.lit(7)) != 0
+    payload = ev.select(
+        F.struct(
+            F.concat(F.lit("sess-"), uid.cast("string")).alias("sessionId"),
+            ms.alias("timestamp"),
+            uid.alias("userId"),
+            F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("GET"))
+            .otherwise(F.lit("POST")).alias("method"),
+            url.alias("requestURL"),
+            ua.alias("userAgent"),
+            F.lit("api.example.org").alias("host"),
+            F.lit(None).cast("string").alias("origin"),
+            F.lit(None).cast("string").alias("xforwardedFor"),
+            F.lit(None).cast("string").alias("via"),
+            F.pmod(eid, F.lit(64)).alias("threadId"),
+            F.pmod(eid, F.lit(1000)).alias("elapseMS"),
+            success.alias("success"),
+            F.lit("prod").alias("stack"),
+            F.lpad(uid.cast("string"), 9, "0").alias("instance"),
+            F.concat(F.lit("vm-"), F.pmod(eid, F.lit(16)).cast("string")).alias("vmId"),
+            F.lit(None).cast("string").alias("returnObjectId"),
+            F.lit(None).cast("string").alias("queryString"),
+            F.when(success, F.lit(200)).otherwise(F.lit(500))
+            .cast("long").alias("responseStatus"),
+            F.lit(None).cast("string").alias("oauthClientId"),
+            F.lit(None).cast("string").alias("basicAuthUsername"),
+            F.lit(None).cast("string").alias("authenticationMethod"),
+        ).alias("payload"),
+    )
+    out = process_access_records(payload)
+    return out.select(
+        "session_id",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        "record_date", "user_id", "method", "request_url", "user_agent",
+        "host", "thread_id", "elapse_ms", "success", "stack", "instance",
+        "vm_id", "response_status",
+        "normalized_method_signature", "client", "client_version", "entity_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregation (streaming surface, batch-checked)
 # ---------------------------------------------------------------------------
@@ -1309,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_pushdown_scan": q_catalog_pushdown_scan,
         "sql_insert_envelope": q_sql_insert_envelope,
         "node_snapshots_job": q_node_snapshots_job,
+        "access_record_job": q_access_record_job,
     }
 
 
@@ -1798,6 +1862,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS internal_annotations,
                    event_id % 3 + 1 AS n_version_history,
                    CAST(floor(value * 1000) AS BIGINT) AS storage_bytes
+            FROM events
+        """,
+        "access_record_job": f"""
+            SELECT 'sess-' || CAST(user_id AS VARCHAR) AS session_id,
+                   epoch_ms(ts) AS ts_ms,
+                   strftime(ts, '%Y-%m-%d') AS record_date,
+                   user_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+                   CASE WHEN event_id % 3 = 0
+                        THEN 'repo/entity/syn' || CAST(event_id AS VARCHAR)
+                        ELSE '/repo/v1/entity/syn' || CAST(event_id AS VARCHAR)
+                             || '/wiki/' || CAST(user_id AS VARCHAR)
+                   END AS request_url,
+                   {_ua_case_sql(0, key="user_id")} AS user_agent,
+                   'api.example.org' AS host,
+                   event_id % 64 AS thread_id,
+                   event_id % 1000 AS elapse_ms,
+                   event_id % 7 <> 0 AS success,
+                   'prod' AS stack,
+                   regexp_replace(lpad(CAST(user_id AS VARCHAR), 9, '0'), '^0+', '') AS instance,
+                   'vm-' || CAST(event_id % 16 AS VARCHAR) AS vm_id,
+                   CASE WHEN event_id % 7 <> 0 THEN 200 ELSE 500 END AS response_status,
+                   (CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END)
+                     || ' ' ||
+                   (CASE WHEN event_id % 3 = 0 THEN 'INVALID URL'
+                         ELSE '/entity/#/wiki/#' END) AS normalized_method_signature,
+                   {_ua_case_sql(1, key="user_id")} AS client,
+                   {_ua_case_sql(2, key="user_id")} AS client_version,
+                   event_id AS entity_id
             FROM events
         """,
         "lake_time_travel": """

@@ -117,3 +117,35 @@ def test_node_snapshots_job_core_semantics(spark):
     assert rows["n1"]["is_public"] is None
     assert rows["n1"]["project_id"] is None  # missing nested field → null long
     assert dict(out.dtypes)["created_on"] == "timestamp"
+
+
+def test_process_access_record_job(spark):
+    from synapse_etl_jobs_spark.jobs import (
+        PROCESS_ACCESS_RECORD_MAPPING, process_access_records,
+    )
+    ms = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [
+            ((ms, 7, "GET", "/repo/v1/entity/syn123/wiki/4",
+              "Synapse-Java-Client/512.1", "000000042"),),
+            ((ms, 8, "POST", "https://x.org/no-version-here",
+              "curl/7.68", "000000000"),),
+        ],
+        "payload struct<timestamp:long, userId:long, method:string, "
+        "requestURL:string, userAgent:string, instance:string>",
+    )
+    out = process_access_records(df)
+    rows = {r["user_id"]: r for r in out.collect()}
+    r7, r8 = rows[7], rows[8]
+    assert r7["normalized_method_signature"] == "GET /entity/#/wiki/#"
+    assert r7["client"] == "JAVA" and r7["client_version"] == "512.1"
+    assert r7["entity_id"] == 123
+    assert r7["record_date"] == "2023-11-14"
+    assert r7["instance"] == "42"
+    assert r8["normalized_method_signature"] == "POST INVALID URL"
+    assert r8["client"] == "UNKNOWN" and r8["client_version"] is None
+    assert r8["entity_id"] is None
+    assert r8["instance"] == ""  # all-zero instance strips to empty (reference lstrip)
+    # drift: the 17 unmapped payload fields become typed null columns
+    assert len(out.columns) == len(PROCESS_ACCESS_RECORD_MAPPING) + 4
+    assert r7["session_id"] is None and r7["response_status"] is None
