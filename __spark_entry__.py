@@ -1164,6 +1164,127 @@ def q_access_record_job(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_user_profile_job(spark, sf_dir) -> DataFrame:
+    """user-profile snapshots port: 17-entry mapping, null-safe
+    first-email selection, partition date (jobs/snapshot_jobs.py)."""
+    from synapse_etl_jobs_spark.jobs import user_profile_snapshots
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    uid = F.col("user_id")
+    src = ev.select(
+        ms.alias("changeTimestamp"),
+        F.when(F.col("value") > 100, F.lit("UPDATE"))
+        .otherwise(F.lit("CREATE")).alias("changeType"),
+        uid.alias("userId"),
+        ms.alias("snapshotTimestamp"),
+        F.struct(
+            uid.cast("string").alias("ownerId"),
+            F.concat(F.lit("user-"), uid.cast("string")).alias("userName"),
+            F.lit(None).cast("string").alias("firstName"),
+            F.lit(None).cast("string").alias("lastName"),
+            F.when(F.pmod(uid, F.lit(5)) == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.array(
+                    F.concat(F.lit("u"), uid.cast("string"), F.lit("@example.org")),
+                    F.lit("alt@example.org"),
+                )
+            ).alias("emails"),
+            F.lit(None).cast("string").alias("location"),
+            F.lit(None).cast("string").alias("company"),
+            F.lit(None).cast("string").alias("position"),
+            F.lit(None).cast("string").alias("industry"),
+            ms.alias("createdOn"),
+            (F.pmod(uid, F.lit(2)) == 0).alias("twoFactorAuthEnabled"),
+            F.array().cast("array<string>").alias("tosAgreements"),
+        ).alias("snapshot"),
+    )
+    out = user_profile_snapshots(src)
+    return out.select(
+        "change_type",
+        F.unix_millis("change_timestamp").alias("change_ms"),
+        "change_user_id", "snapshot_date", "id", "user_name", "email",
+        F.unix_millis("created_on").alias("created_ms"),
+        "is_two_factor_auth_enabled",
+    )
+
+
+def q_quiz_question_job(spark, sf_dir) -> DataFrame:
+    """certified-quiz-question port: nested corrections reshape →
+    created_on drift default (passedOn fallback) → explode → output
+    mapping (jobs/snapshot_jobs.py)."""
+    from synapse_etl_jobs_spark.jobs import certified_quiz_question_snapshots
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    corrections = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.pmod(eid, F.lit(3))),
+        lambda i: F.struct(
+            F.struct(i.cast("int").alias("questionIndex")).alias("question"),
+            (F.pmod(eid + i, F.lit(2)) == 0).alias("isCorrect"),
+        ),
+    )
+    src = ev.select(
+        ms.alias("changeTimestamp"),
+        F.when(F.col("value") > 100, F.lit("UPDATE"))
+        .otherwise(F.lit("CREATE")).alias("changeType"),
+        ms.alias("snapshotTimestamp"),
+        F.lit("prod").alias("stack"),
+        F.lit("123").alias("instance"),
+        F.struct(
+            uid.cast("string").alias("userId"),
+            F.pmod(eid, F.lit(1000)).cast("int").alias("responseId"),
+            corrections.alias("corrections"),
+            F.when(F.pmod(eid, F.lit(4)) == 0, F.lit(None).cast("long"))
+            .otherwise(ms).alias("createdOn"),
+            (ms - 1000).alias("passedOn"),
+        ).alias("snapshot"),
+    )
+    out = certified_quiz_question_snapshots(src)
+    return out.select(
+        F.unix_millis("change_timestamp").alias("change_ms"),
+        "change_type", "change_user_id", "response_id",
+        "question_index", "is_correct",
+        F.date_format("snapshot_date", "yyyy-MM-dd").alias("snapshot_date"),
+        F.unix_millis("created_on").alias("created_ms"),
+    )
+
+
+def q_file_download_job(spark, sf_dir) -> DataFrame:
+    """file-download-records port: payload mapping, partition date,
+    associate-id syn-strip, downloaded_file_handle_id defaulting
+    (jobs/snapshot_jobs.py)."""
+    from synapse_etl_jobs_spark.jobs import file_download_records
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    src = ev.select(
+        ms.alias("timestamp"),
+        F.lit("prod").alias("stack"),
+        F.lit("000042").alias("instance"),
+        F.struct(
+            uid.alias("userId"),
+            F.pmod(eid, F.lit(97)).alias("projectId"),
+            eid.cast("string").alias("fileHandleId"),
+            F.when(F.pmod(eid, F.lit(3)) == 0, F.lit(None).cast("string"))
+            .otherwise((eid + 5).cast("string")).alias("downloadedFileHandleId"),
+            F.lit("FileEntity").alias("associateType"),
+            F.concat(F.lit("syn"), eid.cast("string")).alias("associateId"),
+            F.concat(F.lit("sess-"), uid.cast("string")).alias("sessionId"),
+        ).alias("payload"),
+    )
+    out = file_download_records(src)
+    return out.select(
+        "user_id",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        "record_date", "project_id", "file_handle_id",
+        "downloaded_file_handle_id", "association_object_type",
+        "association_object_id", "session_id", "stack", "instance",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregation (streaming surface, batch-checked)
 # ---------------------------------------------------------------------------
@@ -1373,6 +1494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_insert_envelope": q_sql_insert_envelope,
         "node_snapshots_job": q_node_snapshots_job,
         "access_record_job": q_access_record_job,
+        "user_profile_job": q_user_profile_job,
+        "quiz_question_job": q_quiz_question_job,
+        "file_download_job": q_file_download_job,
     }
 
 
@@ -1891,6 +2015,47 @@ def oracle_sql() -> dict[str, str]:
                    {_ua_case_sql(1, key="user_id")} AS client,
                    {_ua_case_sql(2, key="user_id")} AS client_version,
                    event_id AS entity_id
+            FROM events
+        """,
+        "user_profile_job": """
+            SELECT CASE WHEN value > 100 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   epoch_ms(ts) AS change_ms,
+                   user_id AS change_user_id,
+                   strftime(ts, '%Y-%m-%d') AS snapshot_date,
+                   user_id AS id,
+                   'user-' || CAST(user_id AS VARCHAR) AS user_name,
+                   CASE WHEN user_id % 5 = 0 THEN NULL
+                        ELSE 'u' || CAST(user_id AS VARCHAR) || '@example.org'
+                   END AS email,
+                   epoch_ms(ts) AS created_ms,
+                   user_id % 2 = 0 AS is_two_factor_auth_enabled
+            FROM events
+        """,
+        "quiz_question_job": """
+            SELECT epoch_ms(ts) AS change_ms,
+                   CASE WHEN value > 100 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   user_id AS change_user_id,
+                   event_id % 1000 AS response_id,
+                   i.i AS question_index,
+                   (event_id + i.i) % 2 = 0 AS is_correct,
+                   strftime(ts, '%Y-%m-%d') AS snapshot_date,
+                   CASE WHEN event_id % 4 = 0 THEN epoch_ms(ts) - 1000
+                        ELSE epoch_ms(ts) END AS created_ms
+            FROM events, unnest(range(0, event_id % 3 + 1)) AS i(i)
+        """,
+        "file_download_job": """
+            SELECT user_id,
+                   epoch_ms(ts) AS ts_ms,
+                   strftime(ts, '%Y-%m-%d') AS record_date,
+                   event_id % 97 AS project_id,
+                   event_id AS file_handle_id,
+                   CASE WHEN event_id % 3 = 0 THEN event_id
+                        ELSE event_id + 5 END AS downloaded_file_handle_id,
+                   'FileEntity' AS association_object_type,
+                   event_id AS association_object_id,
+                   'sess-' || CAST(user_id AS VARCHAR) AS session_id,
+                   'prod' AS stack,
+                   '000042' AS instance
             FROM events
         """,
         "lake_time_travel": """

@@ -149,3 +149,70 @@ def test_process_access_record_job(spark):
     # drift: the 17 unmapped payload fields become typed null columns
     assert len(out.columns) == len(PROCESS_ACCESS_RECORD_MAPPING) + 4
     assert r7["session_id"] is None and r7["response_status"] is None
+
+
+def test_user_profile_job_first_email(spark):
+    from synapse_etl_jobs_spark.jobs import user_profile_snapshots
+    ms = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [
+            (ms, "CREATE", 1, ms, ("8", "u8", ["a@x.org", "b@x.org"])),
+            (ms, "CREATE", 2, ms, ("9", "u9", [])),
+        ],
+        "changeTimestamp long, changeType string, userId long, "
+        "snapshotTimestamp long, snapshot struct<ownerId:string, "
+        "userName:string, emails:array<string>>",
+    )
+    out = user_profile_snapshots(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[8]["email"] == "a@x.org"
+    assert rows[9]["email"] is None  # empty list → null, no crash
+    assert "emails" not in out.columns  # array dropped after selection
+    assert rows[8]["snapshot_date"] == "2023-11-14"
+
+
+def test_quiz_question_job_created_on_drift(spark):
+    """Batches predating the createdOn field entirely must fall back to
+    the deprecated passedOn — the reference's PLFM-8788 default."""
+    from synapse_etl_jobs_spark.jobs import certified_quiz_question_snapshots
+    ms = 1_700_000_000_000
+    old = spark.createDataFrame(
+        [(ms, "CREATE", ms, "prod", "1",
+          ("7", 42, [((0,), True), ((1,), False)], ms - 5000))],
+        "changeTimestamp long, changeType string, snapshotTimestamp long, "
+        "stack string, instance string, snapshot struct<userId:string, "
+        "responseId:int, corrections:array<struct<"
+        "question:struct<questionIndex:int>, isCorrect:boolean>>, "
+        "passedOn:long>",  # no createdOn field at all
+    )
+    out = certified_quiz_question_snapshots(old).collect()
+    assert len(out) == 2  # one row per correction
+    assert {(r["question_index"], r["is_correct"]) for r in out} \
+        == {(0, True), (1, False)}
+    assert all(str(r["created_on"]).startswith("2023-11-14") for r in out)
+    assert all(str(r["snapshot_date"]) == "2023-11-14" for r in out)
+
+
+def test_file_download_job_handle_defaulting(spark):
+    """downloaded_file_handle_id defaults to file_handle_id when null
+    AND when the field is missing from the batch entirely."""
+    from synapse_etl_jobs_spark.jobs import file_download_records
+    ms = 1_700_000_000_000
+    with_field = spark.createDataFrame(
+        [(ms, "prod", "1", (7, "100", None, "syn55")),
+         (ms, "prod", "1", (8, "200", "201", "garbage"))],
+        "timestamp long, stack string, instance string, payload struct<"
+        "userId:long, fileHandleId:string, downloadedFileHandleId:string, "
+        "associateId:string>",
+    )
+    rows = {r["user_id"]: r for r in file_download_records(with_field).collect()}
+    assert rows[7]["downloaded_file_handle_id"] == 100  # null → default
+    assert rows[8]["downloaded_file_handle_id"] == 201  # present wins
+    assert rows[7]["association_object_id"] == 55  # syn strip
+    assert rows[8]["association_object_id"] is None  # garbage → null
+    without_field = spark.createDataFrame(
+        [(ms, (9, "300"))],
+        "timestamp long, payload struct<userId:long, fileHandleId:string>",
+    )
+    r9 = file_download_records(without_field).first()
+    assert r9["downloaded_file_handle_id"] == 300  # absent field → default
