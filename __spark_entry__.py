@@ -1285,6 +1285,75 @@ def q_file_download_job(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_certified_quiz_job(spark, sf_dir) -> DataFrame:
+    """certified-quiz snapshots through the declarative job REGISTRY
+    (jobs/registry.py): mapping + the PLFM drift defaults — revoked ←
+    false, certified ← passed, created_on ← deprecated passed_on — with
+    per-row nulls synthesized to exercise every default arm."""
+    from synapse_etl_jobs_spark.jobs import run_job
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    src = ev.select(
+        ms.alias("changeTimestamp"),
+        F.when(F.col("value") > 100, F.lit("UPDATE"))
+        .otherwise(F.lit("CREATE")).alias("changeType"),
+        ms.alias("snapshotTimestamp"),
+        F.lit("prod").alias("stack"),
+        F.lit("7").alias("instance"),
+        F.struct(
+            uid.cast("string").alias("userId"),
+            F.pmod(eid, F.lit(1000)).alias("responseId"),
+            (F.pmod(eid, F.lit(11)) != 0).alias("passed"),
+            (ms - 1000).alias("passedOn"),
+            F.when(F.pmod(eid, F.lit(2)) == 0, F.lit(None).cast("boolean"))
+            .otherwise(F.pmod(eid, F.lit(5)) == 0).alias("revoked"),
+            F.lit(None).cast("long").alias("revokedOn"),
+            F.when(F.pmod(eid, F.lit(3)) == 0, F.lit(None).cast("boolean"))
+            .otherwise(F.pmod(eid, F.lit(7)) == 0).alias("certified"),
+            F.when(F.pmod(eid, F.lit(4)) == 0, F.lit(None).cast("long"))
+            .otherwise(ms).alias("createdOn"),
+        ).alias("snapshot"),
+    )
+    out = run_job("certified_quiz_snapshots", src)
+    return out.select(
+        F.unix_millis("change_timestamp").alias("change_ms"),
+        "change_type", "user_id", "response_id", "passed",
+        F.unix_millis("passed_on").alias("passed_on_ms"),
+        "revoked", "certified",
+        F.unix_millis("created_on").alias("created_ms"),
+        "snapshot_date", "stack", "instance",
+    )
+
+
+def q_team_member_job(spark, sf_dir) -> DataFrame:
+    """team-member snapshots through the registry: the 3-level nested
+    flatten (snapshot.member.ownerId) plus string→bigint id casts."""
+    from synapse_etl_jobs_spark.jobs import run_job
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    src = ev.select(
+        ms.alias("changeTimestamp"),
+        F.when(F.col("value") > 100, F.lit("UPDATE"))
+        .otherwise(F.lit("CREATE")).alias("changeType"),
+        uid.alias("userId"),
+        ms.alias("snapshotTimestamp"),
+        F.struct(
+            F.pmod(eid, F.lit(53)).cast("string").alias("teamId"),
+            F.struct(uid.cast("string").alias("ownerId")).alias("member"),
+            (F.pmod(eid, F.lit(9)) == 0).alias("isAdmin"),
+        ).alias("snapshot"),
+    )
+    out = run_job("team_member_snapshots", src)
+    return out.select(
+        "change_type", "change_user_id", "snapshot_date",
+        "team_id", "member_id", "is_admin",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregation (streaming surface, batch-checked)
 # ---------------------------------------------------------------------------
@@ -1497,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_profile_job": q_user_profile_job,
         "quiz_question_job": q_quiz_question_job,
         "file_download_job": q_file_download_job,
+        "certified_quiz_job": q_certified_quiz_job,
+        "team_member_job": q_team_member_job,
     }
 
 
@@ -2056,6 +2127,33 @@ def oracle_sql() -> dict[str, str]:
                    'sess-' || CAST(user_id AS VARCHAR) AS session_id,
                    'prod' AS stack,
                    '000042' AS instance
+            FROM events
+        """,
+        "certified_quiz_job": """
+            SELECT epoch_ms(ts) AS change_ms,
+                   CASE WHEN value > 100 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   user_id,
+                   event_id % 1000 AS response_id,
+                   event_id % 11 <> 0 AS passed,
+                   epoch_ms(ts) - 1000 AS passed_on_ms,
+                   CASE WHEN event_id % 2 = 0 THEN FALSE
+                        ELSE event_id % 5 = 0 END AS revoked,
+                   CASE WHEN event_id % 3 = 0 THEN event_id % 11 <> 0
+                        ELSE event_id % 7 = 0 END AS certified,
+                   CASE WHEN event_id % 4 = 0 THEN epoch_ms(ts) - 1000
+                        ELSE epoch_ms(ts) END AS created_ms,
+                   strftime(ts, '%Y-%m-%d') AS snapshot_date,
+                   'prod' AS stack,
+                   '7' AS instance
+            FROM events
+        """,
+        "team_member_job": """
+            SELECT CASE WHEN value > 100 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   user_id AS change_user_id,
+                   strftime(ts, '%Y-%m-%d') AS snapshot_date,
+                   event_id % 53 AS team_id,
+                   user_id AS member_id,
+                   event_id % 9 = 0 AS is_admin
             FROM events
         """,
         "lake_time_travel": """

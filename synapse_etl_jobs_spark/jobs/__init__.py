@@ -13,7 +13,12 @@ from synapse_etl_jobs_spark.jobs.snapshot_jobs import (
     file_download_records, user_profile_snapshots,
 )
 
+from synapse_etl_jobs_spark.jobs.registry import (
+    JOB_SPECS, SnapshotJobSpec, build_job, run_job,
+)
+
 __all__ = [
+    "JOB_SPECS", "SnapshotJobSpec", "build_job", "run_job",
     "NODE_SNAPSHOTS_MAPPING", "node_snapshots",
     "PROCESS_ACCESS_RECORD_MAPPING", "process_access_records",
     "USER_PROFILE_MAPPING", "user_profile_snapshots",

@@ -216,3 +216,61 @@ def test_file_download_job_handle_defaulting(spark):
     )
     r9 = file_download_records(without_field).first()
     assert r9["downloaded_file_handle_id"] == 300  # absent field → default
+
+
+def test_registry_all_specs_compile_and_tolerate_drift(spark):
+    """Every registered template job runs on a minimal envelope that
+    carries NONE of its snapshot fields — the full output schema must
+    still materialize (typed nulls), with the partition date derived."""
+    from synapse_etl_jobs_spark.jobs import JOB_SPECS, run_job
+    ms = 1_700_000_000_000
+    bare = spark.createDataFrame(
+        [(ms, "CREATE", 1, ms, ms, "prod", "1", ("x",))],
+        "changeTimestamp long, changeType string, userId long, "
+        "snapshotTimestamp long, timestamp long, stack string, "
+        "instance string, snapshot struct<_ignore:string>",
+    )
+    payload_bare = bare.withColumn(
+        "payload", F.struct(F.lit("x").alias("_ignore"))
+    )
+    for name, spec in JOB_SPECS.items():
+        src = payload_bare if any(
+            m[0].startswith("payload.") for m in spec.mapping
+        ) else bare
+        out = run_job(name, src)
+        assert len(out.columns) == len(spec.mapping), name
+        row = out.first()
+        assert row[spec.partition_date_col] == "2023-11-14", name
+
+
+def test_registry_certified_quiz_defaults(spark):
+    from synapse_etl_jobs_spark.jobs import run_job
+    ms = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [(ms, "CREATE", ms, "prod", "1",
+          ("8", 5, True, ms - 1000, None, None, None, None))],
+        "changeTimestamp long, changeType string, snapshotTimestamp long, "
+        "stack string, instance string, snapshot struct<userId:string, "
+        "responseId:long, passed:boolean, passedOn:long, revoked:boolean, "
+        "revokedOn:long, certified:boolean, createdOn:long>",
+    )
+    r = run_job("certified_quiz_snapshots", df).first()
+    assert r["revoked"] is False            # null → false
+    assert r["certified"] is True           # null → passed
+    assert r["created_on"] == r["passed_on"]  # null → deprecated passed_on
+    assert r["user_id"] == 8
+
+
+def test_registry_deep_nested_and_unknown(spark):
+    from synapse_etl_jobs_spark.jobs import run_job
+    ms = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [(ms, "CREATE", 3, ms, (("42",), "9", True))],
+        "changeTimestamp long, changeType string, userId long, "
+        "snapshotTimestamp long, snapshot struct<"
+        "member:struct<ownerId:string>, teamId:string, isAdmin:boolean>",
+    )
+    r = run_job("team_member_snapshots", df).first()
+    assert r["member_id"] == 42 and r["team_id"] == 9  # 3-level flatten + cast
+    with pytest.raises(KeyError, match="unknown job"):
+        run_job("nope", df)
