@@ -361,6 +361,30 @@ def q_token_counts(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_repetition_features(spark, sf_dir) -> DataFrame:
+    """Repetition metrics (duplicate-line/token fractions, top-token
+    fraction) — the Gopher-family quality signals, row-local native
+    expressions."""
+    from synapse_etl_jobs_spark.operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d).select(
+        "doc_id", "dup_line_frac", "dup_token_frac", "top_token_frac"
+    )
+
+
+def q_gopher_rules(spark, sf_dir) -> DataFrame:
+    """Gopher-style quality gate: per-rule verdicts fused into one
+    select tree; keep + first-failed-rule reason per doc."""
+    from synapse_etl_jobs_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(d).select(
+        "doc_id", "n_tokens", "dup_line_frac", "top_token_frac",
+        "keep", "drop_reason",
+    )
+
+
 def q_ngram_jaccard_adjacent(spark, sf_dir) -> DataFrame:
     """Exact 3-shingle Jaccard on (doc_id, doc_id+1) pairs — the
     verification primitive of the near-dup pipeline, SQL-checkable."""
@@ -1523,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": q_broadcast_dim_join,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "repetition_features": q_repetition_features,
+        "gopher_rules": q_gopher_rules,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1691,6 +1717,23 @@ def _lang_scores_sql() -> dict[str, str]:
     return out
 
 
+_FTOKS = f"list_filter({_TOKENS}, x -> x <> '')"
+_LINES = "list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '')"
+# repetition features (shared by repetition_features + gopher_rules)
+_REP_CTE = f"""
+tk AS (SELECT doc_id, {_FTOKS} AS toks, {_LINES} AS lns FROM documents),
+cnt AS (SELECT doc_id, t.x AS token, count(*) AS c
+        FROM tk, unnest(toks) AS t(x) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),
+rep AS (
+  SELECT tk.doc_id,
+         round((len(lns) - len(list_distinct(lns))) / greatest(CAST(len(lns) AS DOUBLE), 1.0), 6) AS dup_line_frac,
+         round((len(toks) - len(list_distinct(toks))) / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS dup_token_frac,
+         round(coalesce(topc, 0) / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS top_token_frac
+  FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     scores = _lang_scores_sql()
     best = "greatest(" + ", ".join(f"s_{l}" for l in scores) + ")"
@@ -1822,6 +1865,42 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
             + " FROM documents)"
         ),
+        "repetition_features": f"""
+            WITH {_REP_CTE}
+            SELECT doc_id, dup_line_frac, dup_token_frac, top_token_frac
+            FROM rep
+        """,
+        "gopher_rules": f"""
+            WITH {_REP_CTE},
+            f AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKENS}, x -> x <> '')) AS n_tokens,
+                     round(length(text) / greatest(CAST(greatest(len(list_filter({_TOKENS}, x -> x <> '')), 1) AS DOUBLE), 1.0), 6) AS mean_token_len,
+                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+                     round(len(list_filter({_TOKENS}, x -> list_contains(['the','and','of','to','in','is','that','with','for','a'], lower(x)))) / greatest(CAST(greatest(len(list_filter({_TOKENS}, x -> x <> '')), 1) AS DOUBLE), 1.0), 6) AS stopword_ratio
+              FROM documents
+            ),
+            g AS (
+              SELECT f.doc_id, n_tokens, dup_line_frac, top_token_frac,
+                     (n_tokens < 50) AS c1, (n_tokens > 100000) AS c2,
+                     (mean_token_len < 3.0) AS c3, (mean_token_len > 10.0) AS c4,
+                     (punct_ratio > 0.2) AS c5, (stopword_ratio < 0.02) AS c6,
+                     (dup_line_frac > 0.3) AS c7, (top_token_frac > 0.2) AS c8
+              FROM f JOIN rep ON f.doc_id = rep.doc_id
+            )
+            SELECT doc_id, n_tokens, dup_line_frac, top_token_frac,
+                   NOT (c1 OR c2 OR c3 OR c4 OR c5 OR c6 OR c7 OR c8) AS keep,
+                   CASE WHEN c1 THEN 'too_few_tokens'
+                        WHEN c2 THEN 'too_many_tokens'
+                        WHEN c3 THEN 'mean_token_len_low'
+                        WHEN c4 THEN 'mean_token_len_high'
+                        WHEN c5 THEN 'punct_ratio_high'
+                        WHEN c6 THEN 'stopword_ratio_low'
+                        WHEN c7 THEN 'dup_lines_high'
+                        WHEN c8 THEN 'top_token_high'
+                   END AS drop_reason
+            FROM g
+        """,
         "token_counts": f"""
             SELECT doc_id, len(list_filter({_TOKENS}, x -> x <> '')) AS n_tokens
             FROM documents

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "broadcast_dim_join",
     "dedup_exact",
     "text_quality",
+    "gopher_rules",
     "lang_id",
     "minhash_lsh_pairs",
     "minhash_dedup_full",

@@ -228,3 +228,46 @@ def test_simhash_signatures_matches_column_form(spark):
     df_form = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d).collect()}
     assert df_form == col_form
     assert df_form[3] == 0  # empty doc keeps a (zero) signature
+
+
+def test_repetition_features(spark):
+    from synapse_etl_jobs_spark.operators.text import repetition_features
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # dup line, dup tokens
+            (2, "x y z"),                   # all unique
+            (3, "w w w w"),                 # one token dominates
+            (4, ""),                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rows[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert rows[1]["dup_token_frac"] == round(2 / 6, 6)  # a,b repeated once each
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[3]["top_token_frac"] == 1.0
+    assert rows[4]["dup_line_frac"] == 0.0 and rows[4]["top_token_frac"] == 0.0
+
+
+def test_gopher_rules_verdicts(spark):
+    from synapse_etl_jobs_spark.operators.text import gopher_rules
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "walks into town with many other friendly animals " * 5)
+    df = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, "tiny doc"),                                  # too few tokens
+            (3, " ".join(["spam"] * 100)),                    # no stopwords fails first
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert rows[1]["keep"] is True and rows[1]["drop_reason"] is None
+    assert rows[2]["keep"] is False and rows[2]["drop_reason"] == "too_few_tokens"
+    # rule ORDER: stopword_ratio_low fires before dup/top-token rules
+    assert rows[3]["keep"] is False and rows[3]["drop_reason"] == "stopword_ratio_low"
+    # thresholds are parameterized
+    loose = gopher_rules(df, min_tokens=1, min_stopword_ratio=0.0,
+                         max_dup_line_frac=1.0, max_top_token_frac=1.0)
+    got = {r["doc_id"]: r["keep"] for r in loose.collect()}
+    assert got[3] is True
