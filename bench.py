@@ -123,6 +123,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    # one untimed warm-up action: JVM/codegen warm-up otherwise lands
+    # entirely on the FIRST query (round 1 measured it inflating
+    # cdc_final_state ~4x vs its salted twin) — warming outside the
+    # clock makes per-query numbers comparable; the suite still measures
+    # every real query
+    spark.range(10_000_000).selectExpr("sum(xxhash64(id))").collect()
     times: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
