@@ -128,7 +128,8 @@ def main() -> None:
     # cdc_final_state ~4x vs its salted twin) — warming outside the
     # clock makes per-query numbers comparable; the suite still measures
     # every real query
-    spark.range(10_000_000).selectExpr("sum(xxhash64(id))").collect()
+    # max, not sum: summing 10M hashes overflows long under ANSI mode
+    spark.range(10_000_000).selectExpr("max(xxhash64(id))").collect()
     times: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
