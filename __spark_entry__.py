@@ -421,16 +421,12 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     computes directly. Raw candidate behavior at lower thresholds is
     pinned in pytest (recall tests)."""
     from synapse_etl_jobs_spark.operators.dedup_text import (
-        minhash_lsh_candidates, ngram_jaccard_pairs,
+        minhash_lsh_candidates, verify_exact_duplicates,
     )
 
     aug = _augmented_documents(spark, sf_dir)
     cands = minhash_lsh_candidates(aug, shingle_k=5, num_hashes=32, bands=8)
-    return (
-        ngram_jaccard_pairs(aug, cands, k=5)
-        .filter(F.col("jaccard") >= 1.0)
-        .select("id_a", "id_b")
-    )
+    return verify_exact_duplicates(aug, cands, k=5)
 
 
 def q_simhash(spark, sf_dir) -> DataFrame:
