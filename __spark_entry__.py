@@ -1184,6 +1184,72 @@ def q_access_record_job(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_backfill_node_snapshots(spark, sf_dir) -> DataFrame:
+    """The node-snapshots BACKFILL script end to end
+    (jobs/backfill_node_snapshots.py): headerless quoted CSV with a
+    dated directory layout → provenance column → mapping → from_json
+    with defaulting → changeType derivation (≥1s rule) → filename-date
+    partition fields → partitioned gzip-JSON write → read back."""
+    import os
+
+    from synapse_etl_jobs_spark.jobs.backfill_node_snapshots import (
+        backfill_node_snapshots,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")  # noqa: E731
+    created = F.date_trunc("second", F.col("ts"))
+    modified = created + F.make_dt_interval(secs=F.pmod(eid, F.lit(3)))
+    snap_json = F.to_json(F.struct(
+        F.concat(F.lit("syn"), eid.cast("string")).alias("id"),
+        F.concat(F.lit("node-"), eid.cast("string")).alias("name"),
+        iso(created).alias("createdOn"),
+        uid.alias("createdByPrincipalId"),
+        iso(modified).alias("modifiedOn"),
+        uid.alias("modifiedByPrincipalId"),
+        F.col("event_type").alias("nodeType"),
+        F.pmod(eid, F.lit(5)).alias("versionNumber"),
+    ))
+    src = _tmpdir("backfill_src_") + "/csv"
+    (
+        ev.select(
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("string").alias("c0"),
+            F.lit("filler").alias("c1"),
+            snap_json.alias("c2"),
+            F.date_format("ts", "yyyy-MM-dd").alias("record_date"),
+        )
+        .write.partitionBy("record_date")
+        .option("quoteAll", "true")
+        .option("escape", '"')  # RFC-4180 doubled quotes, what read_csv expects
+        .csv(src)
+    )
+    # reference layout is bare `<yyyy-MM-dd>/` dirs (harness reshaping)
+    for dname in os.listdir(src):
+        if dname.startswith("record_date="):
+            os.rename(
+                os.path.join(src, dname),
+                os.path.join(src, dname.split("=", 1)[1]),
+            )
+    dest = _tmpdir("backfill_out_") + "/json"
+    out = backfill_node_snapshots(
+        spark, src, dest, release_number="000000123", stack="prod",
+    )
+    return out.select(
+        F.col("changeTimestamp").alias("change_ms"),
+        F.col("changeType").alias("change_type"),
+        F.col("userId").alias("user_id"),
+        F.col("objectType").alias("object_type"),
+        "stack", "instance",
+        F.col("snapshot.id").alias("syn_id"),
+        F.col("snapshot.createdOn").alias("created_ms"),
+        F.col("snapshot.modifiedOn").alias("modified_ms"),
+        F.col("snapshot.nodeType").alias("node_type"),
+        F.col("snapshot.versionNumber").alias("version_number"),
+        F.col("snapshotTimestamp").alias("snapshot_ms"),
+    )
+
+
 def q_user_profile_job(spark, sf_dir) -> DataFrame:
     """user-profile snapshots port: 17-entry mapping, null-safe
     first-email selection, partition date (jobs/snapshot_jobs.py)."""
@@ -1590,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_download_job": q_file_download_job,
         "certified_quiz_job": q_certified_quiz_job,
         "team_member_job": q_team_member_job,
+        "backfill_node_snapshots": q_backfill_node_snapshots,
     }
 
 
@@ -2161,6 +2228,21 @@ def oracle_sql() -> dict[str, str]:
                    {_ua_case_sql(1, key="user_id")} AS client,
                    {_ua_case_sql(2, key="user_id")} AS client_version,
                    event_id AS entity_id
+            FROM events
+        """,
+        "backfill_node_snapshots": """
+            SELECT epoch_ms(ts) AS change_ms,
+                   CASE WHEN event_id % 3 >= 1 THEN 'UPDATE' ELSE 'CREATE' END AS change_type,
+                   user_id,
+                   'ENTITY' AS object_type,
+                   'prod' AS stack,
+                   '123' AS instance,
+                   'syn' || CAST(event_id AS VARCHAR) AS syn_id,
+                   epoch_ms(date_trunc('second', ts)) AS created_ms,
+                   epoch_ms(date_trunc('second', ts)) + (event_id % 3) * 1000 AS modified_ms,
+                   event_type AS node_type,
+                   event_id % 5 AS version_number,
+                   epoch_ms(CAST(strftime(ts, '%Y-%m-%d') AS TIMESTAMP)) AS snapshot_ms
             FROM events
         """,
         "user_profile_job": """

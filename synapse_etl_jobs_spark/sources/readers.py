@@ -49,14 +49,17 @@ def read_csv(
     quote: str = '"',
     sep: str = ",",
     multiline: bool = True,
+    recursive: bool = True,
     corrupt_col: str = "_corrupt_record",
 ) -> DataFrame:
-    """CSV scan (S2): quoted, headerless, multiline — the backfill reader
-    (backfill_node_snapshots.py:28-43). Malformed rows are routed to
-    ``corrupt_col`` (PERMISSIVE) like the JSON scan, feeding
-    ``quarantine_split`` instead of silently becoming all-null rows."""
+    """CSV scan (S2): quoted, headerless, multiline, recursive — the
+    backfill reader (backfill_node_snapshots.py:28-43, ``recurse``
+    connection option). Malformed rows are routed to ``corrupt_col``
+    (PERMISSIVE) like the JSON scan, feeding ``quarantine_split``
+    instead of silently becoming all-null rows."""
     reader = (
         spark.read.option("header", str(header).lower())
+        .option("recursiveFileLookup", str(recursive).lower())
         .option("quote", quote)
         .option("sep", sep)
         .option("multiLine", str(multiline).lower())

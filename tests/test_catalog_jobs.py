@@ -274,3 +274,36 @@ def test_registry_deep_nested_and_unknown(spark):
     assert r["member_id"] == 42 and r["team_id"] == 9  # 3-level flatten + cast
     with pytest.raises(KeyError, match="unknown job"):
         run_job("nope", df)
+
+
+def test_backfill_node_snapshots_deletednode_and_defaults(spark, tmp_path):
+    """deletednode drops: changeType=DELETE, null userId, raw timestamp
+    strings; absent snapshot JSON keys default to typed nulls."""
+    import json as _json
+    import os
+    from synapse_etl_jobs_spark.jobs.backfill_node_snapshots import (
+        backfill_node_snapshots,
+    )
+    src = tmp_path / "src" / "2023-11-14"
+    os.makedirs(src)
+    snap = {"id": "syn77", "createdOn": "2023-11-14T01:02:03Z",
+            "modifiedOn": "2023-11-14T01:02:03Z",
+            "modifiedByPrincipalId": 9}  # most required fields ABSENT
+    with open(src / "part.csv", "w") as f:
+        f.write(f'"1700000000000","x","{_json.dumps(snap).replace(chr(34), chr(34)*2)}"\n')
+    out = backfill_node_snapshots(
+        spark, str(tmp_path / "src"), str(tmp_path / "out"),
+        release_number="000042", node_record_type="deletednode",
+    )
+    r = out.first()
+    assert r["changeType"] == "DELETE"
+    assert r["instance"] == "42" and r["objectType"] == "ENTITY"
+    assert r["snapshot"]["id"] == "syn77"
+    # deletednode leaves timestamps as the raw strings
+    assert r["snapshot"]["modifiedOn"] == "2023-11-14T01:02:03Z"
+    # filename-derived partition fields
+    assert r["snapshotTimestamp"] == 1699920000000  # 2023-11-14T00:00Z
+    # userId column: all-null columns are omitted from the JSON body by
+    # design; defaulted absent fields likewise stay null/absent
+    assert "userId" not in out.columns or r["userId"] is None
+    assert "name" not in r["snapshot"].asDict() or r["snapshot"]["name"] is None
