@@ -385,6 +385,42 @@ def q_gopher_rules(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mask_pii(spark, sf_dir) -> DataFrame:
+    """PII scrubbing: ordered regexp chain (email → IPv4 → phone) over
+    text with planted identifiers; patterns restricted to constructs
+    Java regex and RE2 interpret identically, so the DuckDB oracle runs
+    the same chain."""
+    from synapse_etl_jobs_spark.operators.text import mask_pii
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.lit("contact u"), k.cast("string"),
+        F.lit("@mail.example.org or call +1 555-010"),
+        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0"),
+        F.lit(" from 10.0."), F.pmod(k, F.lit(256)).cast("string"),
+        F.lit(".7 done"),
+    )
+    return c.select("c_custkey", raw.alias("raw"), mask_pii(raw).alias("masked"))
+
+
+def q_hash_split(spark, sf_dir) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split labels from a
+    stable key hash (portable md5 variant for the oracle; production
+    default is xxhash64)."""
+    from synapse_etl_jobs_spark.operators.text import hash_split, md5_hash48
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_split(
+            F.col("doc_id").cast("string"),
+            {"train": 8, "val": 1, "test": 1},
+            hash_fn=md5_hash48,
+        ).alias("split"),
+    )
+
+
 def q_ngram_jaccard_adjacent(spark, sf_dir) -> DataFrame:
     """Exact 3-shingle Jaccard on (doc_id, doc_id+1) pairs — the
     verification primitive of the near-dup pipeline, SQL-checkable."""
@@ -1611,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition_features": q_repetition_features,
         "gopher_rules": q_gopher_rules,
+        "mask_pii": q_mask_pii,
+        "hash_split": q_hash_split,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1928,6 +1966,36 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
             + " FROM documents)"
         ),
+        "mask_pii": """
+            WITH r AS (
+              SELECT c_custkey,
+                     'contact u' || CAST(c_custkey AS VARCHAR)
+                     || '@mail.example.org or call +1 555-010'
+                     || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                     || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                     || '.7 done' AS raw
+              FROM customer
+            )
+            SELECT c_custkey, raw,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+?\\d[\\d\\-\\(\\) ]{7,}\\d', '<PHONE>', 'g'
+                   ) AS masked
+            FROM r
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_MD5H48.format(x="CAST(doc_id AS VARCHAR)")} % 10 < 8
+                        THEN 'train'
+                        WHEN {_MD5H48.format(x="CAST(doc_id AS VARCHAR)")} % 10 = 8
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "repetition_features": f"""
             WITH {_REP_CTE}
             SELECT doc_id, dup_line_frac, dup_token_frac, top_token_frac

@@ -200,6 +200,53 @@ def detect_language(text_col: str = "text") -> Column:
     return expr
 
 
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied IN ORDER (email before
+    # generic digit runs so local parts survive as a single token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-\(\) ]{7,}\d", "<PHONE>"),
+]
+
+
+def mask_pii(c, patterns: list[tuple[str, str, str]] | None = None) -> Column:
+    """Regex PII masking for training-data scrubbing: chained
+    ``regexp_replace`` (Java regex, codegen — scan speed). Pattern order
+    matters and is part of the contract; the defaults cover
+    email/IPv4/phone with conservative patterns (over-masking beats
+    leaking). Patterns avoid constructs whose semantics differ between
+    regex engines so the SQL oracle reproduces them exactly."""
+    col = c if isinstance(c, Column) else F.col(c)
+    for _name, pat, repl in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def hash_split(c, weights: dict[str, int], seed: int = 42, hash_fn=None) -> Column:
+    """Deterministic dataset split label (train/val/test …) from a
+    stable key hash — reproducible across runs, machines, and engines
+    (no RNG state): bucket = pmod(hash(key), sum(weights)), assigned to
+    labels by cumulative ranges. The standard leakage-safe way to split
+    corpora: a document's split never changes when the corpus grows, and
+    grouping keys (e.g. url/domain) keep related docs on the same side.
+
+    ``hash_fn``: default seeded xxhash64 (production); ``md5_hash48``
+    for the SQL-oracle-checked path."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = sum(weights.values())
+    col = c if isinstance(c, Column) else F.col(c)
+    h = hash_fn(col) if hash_fn else F.xxhash64(col, F.lit(seed))
+    bucket = F.pmod(h, F.lit(total))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo += w
+    return expr
+
+
 def md5_hash48(c) -> Column:
     """48-bit deterministic string hash that BOTH Spark and ANSI SQL can
     compute: the first 12 hex chars of md5 parsed base-16 (DuckDB mirror:

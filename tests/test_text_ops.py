@@ -271,3 +271,38 @@ def test_gopher_rules_verdicts(spark):
                          max_dup_line_frac=1.0, max_top_token_frac=1.0)
     got = {r["doc_id"]: r["keep"] for r in loose.collect()}
     assert got[3] is True
+
+
+def test_mask_pii(spark):
+    from synapse_etl_jobs_spark.operators.text import mask_pii
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk now"),
+            (2, "server 192.168.001.250 port"),
+            (3, "call +1 (555) 010-9999 ok"),
+            (4, "clean text 42"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["m"] for r in df.select("id", mask_pii("t").alias("m")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server <IP> port"
+    assert got[3] == "call <PHONE> ok"
+    assert got[4] == "clean text 42"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    import pytest as _pytest
+    from synapse_etl_jobs_spark.operators.text import hash_split
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    w = {"train": 8, "val": 1, "test": 1}
+    a = df.select("k", hash_split("k", w).alias("s"))
+    counts = {r["s"]: r["n"] for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 10_000 < 0.85  # ~80%
+    # stable under corpus growth: the first 10k keys keep their labels
+    bigger = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    b = bigger.select("k", hash_split("k", w).alias("s")).filter(F.col("k").cast("long") < 10_000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with _pytest.raises(ValueError):
+        hash_split("k", {"train": 0})
