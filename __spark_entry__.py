@@ -557,6 +557,26 @@ WHERE NOT EXISTS (
 """
 
 
+def q_embedding_quantize(spark, sf_dir) -> DataFrame:
+    """int8 scalar quantization round-trip: per-vector scale, first/last
+    codes, and the cosine between original and dequantized vectors
+    (reconstruction fidelity) — all SQL-mirrored exactly (both engines
+    round half away from zero on doubles)."""
+    from synapse_etl_jobs_spark.operators.similarity import (
+        cosine, dequantize_embedding, quantize_embedding,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qd = dequantize_embedding(quantize_embedding(e))
+    return qd.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.element_at("q", 1).cast("int").alias("q_first"),
+        F.element_at("q", -1).cast("int").alias("q_last"),
+        F.round(cosine(F.col("embedding"), F.col("embedding_dq")), 4).alias("recon_cos"),
+    )
+
+
 def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact (verification path)."""
     from synapse_etl_jobs_spark.operators.similarity import embedding_neardup_pairs
@@ -1660,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf": q_ann_ivf,
         "media_plumbing": q_media_plumbing,
+        "embedding_quantize": q_embedding_quantize,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -2082,6 +2103,30 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_hash
             FROM documents
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            ), s AS (
+              SELECT vec_id, ve,
+                     list_max(list_transform(ve, x -> abs(x))) AS amax
+              FROM v
+            ), q AS (
+              SELECT vec_id, ve, amax,
+                     coalesce(amax, 0) / 127.0 AS scale,
+                     CASE WHEN coalesce(amax, 0) = 0
+                          THEN list_transform(ve, x -> 0)
+                          ELSE list_transform(ve, x -> CAST(round(x * 127.0 / amax) AS INT))
+                     END AS codes
+              FROM s
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS q_scale,
+                   codes[1] AS q_first,
+                   codes[len(codes)] AS q_last,
+                   round(list_cosine_similarity(ve,
+                         list_transform(codes, c -> c * scale)), 4) AS recon_cos
+            FROM q
         """,
         "embedding_neardup_pairs": f"""
             WITH aug AS ({_EMB_AUG})

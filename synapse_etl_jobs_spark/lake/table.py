@@ -238,7 +238,14 @@ class LakeTable:
         if version is None:
             with open(os.path.join(mdir, "CURRENT")) as f:
                 version = int(f.read().strip())
-        with open(os.path.join(mdir, f"v{version:012d}.json")) as f:
+        mpath = os.path.join(mdir, f"v{version:012d}.json")
+        if not os.path.exists(mpath):
+            raise ValueError(
+                f"table version {version} does not exist at {path!r} — "
+                "either it was never committed or vacuum() expired it "
+                "(time travel only reaches retained versions)"
+            )
+        with open(mpath) as f:
             return cls(spark, path, Manifest.from_json(f.read()))
 
     @classmethod

@@ -230,6 +230,52 @@ def rp_lsh_topk(
     return topk_per_query(scored, k)
 
 
+def quantize_embedding(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale =
+    max(|v|)/127, codes = round(v/scale) ∈ [-127, 127] stored as
+    array<tinyint> — 4× smaller than float32 at 10^9-vector scale, and
+    dot products stay exact integer arithmetic (rescale at the end).
+    Deterministic (half-up rounding), all native expressions; zero/null
+    vectors get scale 0 and an empty/zero code array."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (F.coalesce(amax, F.lit(0.0)) / 127.0).alias(scale_col)
+    codes = F.when(
+        F.coalesce(amax, F.lit(0.0)) == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") * 127.0 / amax)
+            .cast("int").cast("tinyint"),
+        )
+    )
+    return df.select("*", codes.alias(out_col), scale)
+
+
+def dequantize_embedding(
+    df: DataFrame,
+    *,
+    code_col: str = "q",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of ``quantize_embedding``: v̂[j] = code[j] · scale.
+    Max elementwise error is scale/2 (= max|v|/254)."""
+    return df.select(
+        "*",
+        F.transform(
+            F.col(code_col), lambda c: c.cast("double") * F.col(scale_col)
+        ).alias(out_col),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     *,
@@ -237,11 +283,23 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: pick ``n_cells`` corpus vectors as cell
-    centroids (deterministic hash-sample — the classic k-means++ upgrade
-    is a drop-in, but hash-sampling needs no iterative training job) and
-    assign every vector to its nearest centroid by cosine.
+    centroids (deterministic hash-sample) and assign every vector to its
+    nearest centroid by cosine.
+
+    ``refine_iters`` runs that many Lloyd (k-means) iterations over the
+    hash-sampled start — distributed entirely in DataFrame aggregates:
+    assign (broadcast centroids, map-only) → per-(cell, dim) mean via
+    posexplode + one hash aggregate → re-pack centroid arrays. Two
+    shuffles per iteration, each over (n_cells × dim) + (n × dim)
+    compact rows; empty cells keep their previous centroid. Refined
+    centroids tighten cells → higher recall at the same ``n_probe``.
+    NOTE: float means depend on reduction order, so refined centroids
+    are deterministic only up to float-sum ordering — the
+    oracle-checked entry queries use ``refine_iters=0``; recall effects
+    are pinned in pytest instead.
 
     Returns ``(centroids, assigned)`` where centroids = (cell, centroid
     vector) and assigned = corpus + ``_cell``. Assignment is one pass:
@@ -264,17 +322,58 @@ def ivf_assign(
         c.orderBy(hkey.asc(), F.col("_id").asc())
         .limit(n_cells)
         .withColumn("_r", F.row_number().over(w))
-        .select((F.col("_r") - 1).alias("cell"), F.col("_v").alias("centroid"))
+        .select(
+            (F.col("_r") - 1).alias("cell"),
+            # double elements: exact for float inputs, and type-aligned
+            # with Lloyd-refined mean centroids (refine_iters > 0)
+            F.transform(F.col("_v"), lambda x: x.cast("double")).alias("centroid"),
+        )
     )
-    scored = c.join(F.broadcast(centroids)).select(
-        "_id", "_v", "cell", cosine(F.col("_v"), F.col("centroid")).alias("_sim")
-    )
-    wc = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(wc))
-        .filter(F.col("_rk") == 1)
-        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col),
-                F.col("cell").alias("_cell"))
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = c.join(F.broadcast(cents)).select(
+            "_id", "_v", "cell", cosine(F.col("_v"), F.col("centroid")).alias("_sim")
+        )
+        wc = Window.partitionBy("_id").orderBy(
+            F.col("_sim").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(wc))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "_v", F.col("cell").alias("_cell"))
+        )
+
+    for _ in range(refine_iters):
+        # Lloyd step: mean vector per cell, computed as ONE hash
+        # aggregate over (cell, dim) rows, then re-packed in dim order
+        means = (
+            assign(centroids)
+            .select("_cell", F.posexplode(F.col("_v")).alias("_j", "_x"))
+            .groupBy("_cell", "_j")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_j"), F.col("_m")))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_new")
+            )
+        )
+        # empty cells keep their previous centroid
+        centroids = (
+            centroids.join(
+                means.withColumnRenamed("_cell", "cell"), "cell", "left"
+            )
+            .select(
+                "cell",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+
+    assigned = assign(centroids).select(
+        F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "_cell"
     )
     return centroids, assigned
 
@@ -289,11 +388,14 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: score queries only against vectors in
     the ``n_probe`` cells nearest each query (inverted-file search, the
-    FAISS IVF-Flat scheme). Recall rises with ``n_probe``/``n_cells``;
-    ``n_probe == n_cells`` degenerates to exact brute force.
+    FAISS IVF-Flat scheme). Recall rises with ``n_probe``/``n_cells``
+    and with Lloyd-refined centroids (``refine_iters`` — see
+    ``ivf_assign``); ``n_probe == n_cells`` degenerates to exact brute
+    force.
 
     Plan shape at scale: the partitioned corpus is assigned once (reuse
     ``ivf_assign`` output as a materialized column), each query probes
@@ -302,7 +404,8 @@ def ivf_topk(
     the full-dimension cosine.
     """
     centroids, assigned = ivf_assign(
-        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed,
+        refine_iters=refine_iters,
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qscore = q.join(F.broadcast(centroids)).select(

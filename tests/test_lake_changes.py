@@ -95,3 +95,12 @@ def test_changes_bad_range(spark, tmp_path):
     t = _mk(spark, tmp_path, "t")
     with pytest.raises(ValueError, match="invalid version range"):
         t.changes(5)
+
+
+def test_load_missing_version_clear_error(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    with pytest.raises(ValueError, match="does not exist"):
+        LakeTable.load(spark, str(tmp_path / "t"), version=99)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read_version(99)

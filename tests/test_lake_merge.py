@@ -251,8 +251,8 @@ def test_vacuum_expires_old_versions(spark, events, tmp_table_path):
 
     # current snapshot unaffected (state identical), fresh load works
     assert_states_equal(table_state(LakeTable.load(spark, tmp_table_path)), state_before)
-    # expired version is really gone
-    with pytest.raises(FileNotFoundError):
+    # expired version is really gone (clear time-travel error)
+    with pytest.raises(ValueError, match="does not exist"):
         LakeTable.load(spark, tmp_table_path, version=1)
 
 

