@@ -1624,6 +1624,30 @@ def q_ann_ivf(spark, sf_dir) -> DataFrame:
     return ivf_topk(aug, q, k=2, n_cells=8, n_probe=3)
 
 
+def q_media_dedup(spark, sf_dir) -> DataFrame:
+    """Exact dedup over BINARY media content: hash the bytes through the
+    Arrow mapInPandas feature kernel, keep the min-id representative per
+    content hash — the multimodal twin of ``dedup_exact`` (every 7th
+    media row is a byte-identical duplicate by construction)."""
+    from synapse_etl_jobs_spark.operators.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        # every 7th row duplicates the content of doc_id - 1
+        F.encode(
+            F.when(
+                (F.pmod("doc_id", F.lit(7)) == 0) & (F.col("doc_id") > 0),
+                F.lag("text", 1).over(Window.orderBy("doc_id")),
+            ).otherwise(F.col("text")),
+            "utf-8",
+        ).alias("data"),
+    )
+    feats = extract_image_features(media).select("media_id", "content_hash")
+    keep = feats.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
+    return media.join(keep, "media_id", "leftsemi").select("media_id")
+
+
 def q_media_plumbing(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: documents → binary media column → Arrow
     mapInPandas feature kernel; hash/size are SQL-checkable."""
@@ -1680,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf": q_ann_ivf,
         "media_plumbing": q_media_plumbing,
+        "media_dedup": q_media_dedup,
         "embedding_quantize": q_embedding_quantize,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -2103,6 +2128,19 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_hash
             FROM documents
+        """,
+        "media_dedup": """
+            WITH media AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 7 = 0 AND doc_id > 0
+                          THEN lag(text, 1) OVER (ORDER BY doc_id)
+                          ELSE text END AS content
+              FROM documents
+            ),
+            keep AS (
+              SELECT min(media_id) AS media_id FROM media GROUP BY sha256(content)
+            )
+            SELECT media_id FROM keep
         """,
         "embedding_quantize": """
             WITH v AS (

@@ -121,6 +121,15 @@ class Catalog:
         """Expose a registered table to Spark SQL under its name."""
         self.table(name).createOrReplaceTempView(name)
 
+    def sql(self, query: str) -> DataFrame:
+        """Run arbitrary Spark SQL with EVERY registered table exposed
+        as a view — the read-side SQL surface matching ``insert_into``
+        (Athena-style: users query tables by name, pruning and pushdown
+        included)."""
+        for name in self._entries:
+            self.create_view(name)
+        return self.spark.sql(query)
+
     # -------------------------------------------------------------- insert
 
     def insert_into(self, name: str, select_sql: str) -> int:

@@ -307,3 +307,18 @@ def test_backfill_node_snapshots_deletednode_and_defaults(spark, tmp_path):
     # design; defaulted absent fields likewise stay null/absent
     assert "userId" not in out.columns or r["userId"] is None
     assert "name" not in r["snapshot"].asDict() or r["snapshot"]["name"] is None
+
+
+def test_catalog_sql_over_registered_tables(spark, tmp_path):
+    cat = Catalog(spark)
+    spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("g")) \
+        .write.parquet(str(tmp_path / "a"))
+    spark.range(5).select(F.col("id").alias("g"), (F.col("id") * 100).alias("w")) \
+        .write.parquet(str(tmp_path / "b"))
+    cat.register_parquet("facts", str(tmp_path / "a"))
+    cat.register_parquet("dims", str(tmp_path / "b"))
+    got = cat.sql("""
+        SELECT d.w, count(*) AS n FROM facts f JOIN dims d ON f.g = d.g
+        GROUP BY d.w ORDER BY d.w
+    """).collect()
+    assert [(r["w"], r["n"]) for r in got] == [(i * 100, 10) for i in range(5)]
