@@ -285,6 +285,52 @@ def q_access_normalize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_asof_join(spark, sf_dir) -> DataFrame:
+    """As-of join (backward, exact-time inclusive): every event picks up
+    the latest prior profile sample of its user — the union-and-window
+    single-shuffle plan, no inequality join. Oracle: DuckDB's native
+    ASOF JOIN."""
+    from synapse_etl_jobs_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    right = (
+        ev.filter(F.pmod("event_id", F.lit(20)) == 0)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("uts"),
+            F.round("value", 2).alias("uval"),
+        )
+        .groupBy("user_id", "uts").agg(F.max("uval").alias("uval"))
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_ts="ts_ms", right_ts="uts"
+    ).select("event_id", "user_id", "ts_ms", "uts_r", "uval_r")
+
+
+def q_range_join(spark, sf_dir) -> DataFrame:
+    """Range join via interval binning (equi-join on the bin + exact
+    bounds filter — no inequality join, no cartesian): events bucketed
+    into nation-derived value bands."""
+    from synapse_etl_jobs_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    pts = ev.select("event_id", F.round("value", 2).alias("value"))
+    bands = n.select(
+        "n_nationkey", "n_name",
+        (F.col("n_nationkey") * 40.0).alias("lo"),
+        (F.col("n_nationkey") * 40.0 + 39.99).alias("hi"),
+    )
+    return range_join(
+        pts, bands, point_col="value", lower_col="lo", upper_col="hi",
+        bin_width=40.0,
+    ).select("event_id", "value", "n_nationkey", "n_name")
+
+
 # ---------------------------------------------------------------------------
 # Analytical breadth (joins/aggregations the engine's users run on the lake)
 # ---------------------------------------------------------------------------
@@ -1684,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_dates": q_partition_dates,
         "instance_strip": q_instance_strip,
         "access_normalize": q_access_normalize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -1967,6 +2015,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '/entity/#/wiki/#' END AS signature,
                    o_orderkey AS entity_id
             FROM orders
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+            ), r AS (
+              SELECT user_id, epoch_ms(ts) AS uts, max(round(value, 2)) AS uval
+              FROM events WHERE event_id % 20 = 0
+              GROUP BY user_id, epoch_ms(ts)
+            )
+            SELECT l.event_id, l.user_id, l.ts_ms,
+                   CAST(r.uts AS DOUBLE) AS uts_r, r.uval AS uval_r
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_ms >= r.uts
+        """,
+        "range_join": """
+            SELECT e.event_id, round(e.value, 2) AS value,
+                   n.n_nationkey, n.n_name
+            FROM events e JOIN nation n
+              ON round(e.value, 2) >= n.n_nationkey * 40.0
+             AND round(e.value, 2) <= n.n_nationkey * 40.0 + 39.99
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -65,6 +65,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BatchEvalPython"]),
     # the 34-column job port is one fused projection — no Python anywhere
     ("node_snapshots_job", ["Project"], ["BatchEvalPython", "ArrowEvalPython"]),
+    # temporal joins must never degenerate to nested-loop/cartesian
+    # plans — the union+window (asof) and bin equi-join (range) shapes
+    ("asof_join", ["Window"],
+     ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]),
+    ("range_join", ["HashJoin"],
+     ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]),
 ]
 
 
