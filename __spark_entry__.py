@@ -1542,6 +1542,59 @@ def q_team_member_job(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rollup_cascade(spark, sf_dir) -> DataFrame:
+    """Hypertable-style rollup cascade: the DAY level is re-aggregated
+    from the HOUR level (mergeable measures), never from raw — the
+    oracle computes day buckets directly from raw events, so the gate
+    proves cascade == direct."""
+    from synapse_etl_jobs_spark.operators.rollup import rollup_cascade
+
+    ev = _t(spark, sf_dir, "events")
+    hour, day = rollup_cascade(
+        ev, "ts",
+        {"n": ("count", None), "sum_v": ("sum", "value"),
+         "min_v": ("min", "value"), "max_v": ("max", "value")},
+        ["1 hour", "1 day"], keys=["event_type"],
+    )
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type", "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
+
+
+def q_distinct_sketch(spark, sf_dir) -> DataFrame:
+    """Mergeable HLL distinct-count rollup: per-(event_type, shard)
+    sketches built independently, unioned per event_type, estimated —
+    the pre-aggregated COUNT(DISTINCT) pattern. The gate checks the
+    EXACT property that the merged estimate lands within 2% of the true
+    distinct count (HLL is exact below the sparse threshold; a drift
+    would flip the boolean and hash-mismatch)."""
+    from synapse_etl_jobs_spark.operators.rollup import (
+        sketch_distinct, sketch_union_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shards = ev.select(
+        "event_type", "user_id", F.pmod("user_id", F.lit(8)).alias("shard")
+    )
+    sk = sketch_distinct(shards, "user_id", keys=["event_type", "shard"])
+    est = sketch_union_estimate(sk, keys=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact",
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0))
+            <= 0.02
+        ).alias("within_2pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregation (streaming surface, batch-checked)
 # ---------------------------------------------------------------------------
@@ -1772,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_point_scan": q_lake_point_scan,
         "lake_time_travel": q_lake_time_travel,
         "lake_changes": q_lake_changes,
+        "rollup_cascade": q_rollup_cascade,
+        "distinct_sketch": q_distinct_sketch,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
@@ -2579,6 +2634,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
             )
             SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        """,
+        "rollup_cascade": """
+            SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_v,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v
+            FROM events GROUP BY 1, 2
+        """,
+        "distinct_sketch": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                   TRUE AS within_2pct
+            FROM events GROUP BY event_type
         """,
         "tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
