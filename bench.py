@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "ann_ivf",
     "embedding_dedup_lsh",
     "tumbling_window",
+    "rollup_cascade",
+    "asof_join",
+    "range_join",
     "connected_components",
     "media_plumbing",
     "catalog_pushdown_scan",
