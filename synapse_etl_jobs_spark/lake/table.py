@@ -42,6 +42,13 @@ from synapse_etl_jobs_spark.operators.dedup import (
     dedup_lww, dedup_lww_salted, dedup_lww_semijoin,
 )
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's load and commit
+    (optimistic-concurrency conflict). Reload the table and retry —
+    merges are idempotent under batch markers + LWW, so retrying a
+    half-raced batch is safe."""
+
+
 SEQ_COL = "_seq"  # stored event-sequence column (LWW tiebreaker, replay idempotency)
 OP_COL = "_op"
 DELETED_COL = "_deleted"  # stored tombstone flag — see merge() docstring
@@ -250,10 +257,29 @@ class LakeTable:
 
     @classmethod
     def _commit_manifest(cls, path: str, m: Manifest) -> None:
+        """Commit = write the immutable version file, then swap CURRENT —
+        guarded by an optimistic compare-and-set: if CURRENT no longer
+        points at this commit's parent, another writer won the race and
+        this commit must abort instead of silently clobbering their
+        manifest chain (lost update). This is exactly the check an
+        Iceberg catalog performs server-side; the local-FS version is
+        best-effort (check-then-replace is not atomic across processes)
+        but turns the documented single-writer ASSUMPTION into an
+        enforced invariant with a clear error."""
         mdir = cls._manifest_dir(path)
+        cur_path = os.path.join(mdir, "CURRENT")
+        if m.parent_version is not None and os.path.exists(cur_path):
+            with open(cur_path) as f:
+                cur = int(f.read().strip())
+            if cur != m.parent_version:
+                raise ConcurrentWriteError(
+                    f"commit of version {m.table_version} expected CURRENT="
+                    f"{m.parent_version} but found {cur}: another writer "
+                    "committed concurrently; reload the table and retry"
+                )
         mpath = os.path.join(mdir, f"v{m.table_version:012d}.json")
         _atomic_write_text(mpath, m.to_json())
-        _atomic_write_text(os.path.join(mdir, "CURRENT"), str(m.table_version))
+        _atomic_write_text(cur_path, str(m.table_version))
 
     # ------------------------------------------------------------------- read
 

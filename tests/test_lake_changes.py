@@ -104,3 +104,23 @@ def test_load_missing_version_clear_error(spark, tmp_path):
         LakeTable.load(spark, str(tmp_path / "t"), version=99)
     with pytest.raises(ValueError, match="does not exist"):
         t.read_version(99)
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two handles loaded at the same version: the second committer must
+    fail with a clear conflict error, and a reloaded retry succeeds
+    (merges stay idempotent under markers + LWW)."""
+    from synapse_etl_jobs_spark.lake.table import ConcurrentWriteError
+
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    h1 = LakeTable.load(spark, str(tmp_path / "t"))
+    h2 = LakeTable.load(spark, str(tmp_path / "t"))
+    h1.merge(_ev(spark, [("UPSERT", 2, 2, "b")]), batch_id=1)
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        h2.merge(_ev(spark, [("UPSERT", 3, 3, "c")]), batch_id=2)
+    # reload + retry applies cleanly and loses nothing
+    h3 = LakeTable.load(spark, str(tmp_path / "t"))
+    h3.merge(_ev(spark, [("UPSERT", 3, 3, "c")]), batch_id=2)
+    assert {(r["k"], r["v"]) for r in h3.read().collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
