@@ -509,6 +509,7 @@ class LakeTable:
         collect_lineage: bool = True,
         mode: str | None = None,
         dedup_strategy: str = "semijoin",
+        auto_evolve: bool = False,
     ) -> dict[str, Any]:
         """MERGE the update batch into the table (Iceberg ``MERGE INTO``
         semantics: matched DELETE → delete, matched upsert → update,
@@ -560,11 +561,31 @@ class LakeTable:
             return {"applied": False, "reason": "batch_already_applied",
                     "table_version": m.table_version}
 
-        current_schema = m.current_schema()
-        user_cols = [f.name for f in current_schema.fields]
         missing = [c for c in m.key_cols if c not in updates.columns]
         if missing:
             raise ValueError(f"updates missing key columns: {missing}")
+
+        # auto-evolve: batch columns the table has never seen become new
+        # nullable columns BEFORE the merge (additive-only — renames stay
+        # an explicit evolve_schema call, since rename detection from
+        # data is guesswork; mergeSchema-on-write semantics). The evolve
+        # commits its own manifest version; the merge then commits on top.
+        if auto_evolve:
+            known = set(m.current_schema().fieldNames())
+            envelope = {op_col, seq_col}
+            # pass DataType objects, not simpleString(): Spark's
+            # StructType.add rejects some short names ("int")
+            new_cols = [
+                (f.name, f.dataType)
+                for f in updates.schema.fields
+                if f.name not in known and f.name not in envelope
+            ]
+            if new_cols:
+                self.evolve_schema(add_columns=new_cols)
+                m = self.manifest
+
+        current_schema = m.current_schema()
+        user_cols = [f.name for f in current_schema.fields]
 
         # normalize the batch to (user columns + _op + _seq)
         batch = updates.select(

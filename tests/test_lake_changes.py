@@ -124,3 +124,23 @@ def test_concurrent_commit_detected(spark, tmp_path):
     h3.merge(_ev(spark, [("UPSERT", 3, 3, "c")]), batch_id=2)
     assert {(r["k"], r["v"]) for r in h3.read().collect()} \
         == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_auto_evolve_adds_new_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    widened = spark.createDataFrame(
+        [("UPSERT", 2, 2, "b", 99), ("UPSERT", 3, 1, "a2", 7)],
+        "op string, seq long, k long, v string, stars int",
+    )
+    # without auto_evolve the new column is silently not stored; with it,
+    # the schema widens additively before the merge
+    t.merge(widened, batch_id=1, auto_evolve=True)
+    got = {r["k"]: (r["v"], r["stars"]) for r in t.read().collect()}
+    assert got == {1: ("a2", 7), 2: ("b", 99)}
+    assert "stars" in t.read().columns
+    # a later batch WITHOUT the new column still merges (nulls)
+    t.merge(_ev(spark, [("UPSERT", 4, 3, "c")]), batch_id=2, auto_evolve=True)
+    assert t.read().filter("k = 3").first()["stars"] is None
+    # op/seq envelope columns are never promoted to table columns
+    assert {"op", "seq"}.isdisjoint(set(t.read().columns))
