@@ -431,6 +431,18 @@ def q_gopher_rules(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Fixed-size overlapping character chunking (context-window prep):
+    200-char chunks, 50 overlap — native sequence+posexplode, exactly
+    mirrored in SQL."""
+    from synapse_etl_jobs_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=200, overlap=50).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_text"
+    )
+
+
 def q_mask_pii(spark, sf_dir) -> DataFrame:
     """PII scrubbing: ordered regexp chain (email → IPv4 → phone) over
     text with planted identifiers; patterns restricted to constructs
@@ -1794,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "mask_pii": q_mask_pii,
         "hash_split": q_hash_split,
+        "chunk_documents": q_chunk_documents,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -2135,6 +2148,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
             + " FROM documents)"
         ),
+        "chunk_documents": """
+            WITH c AS (
+              SELECT doc_id,
+                     i.i AS k
+              FROM documents,
+                   unnest(range(0,
+                     CAST(ceil(greatest(length(text) - 200, 0) / 150.0) AS BIGINT) + 1
+                   )) AS i(i)
+              WHERE length(text) > 0
+            )
+            SELECT c.doc_id,
+                   CAST(c.k AS INT) AS chunk_idx,
+                   c.k * 150 + 1 AS chunk_start,
+                   substring(d.text, CAST(c.k * 150 + 1 AS INT), 200) AS chunk_text
+            FROM c JOIN documents d ON c.doc_id = d.doc_id
+        """,
         "mask_pii": """
             WITH r AS (
               SELECT c_custkey,

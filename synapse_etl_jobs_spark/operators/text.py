@@ -247,6 +247,42 @@ def hash_split(c, weights: dict[str, int], seed: int = 42, hash_fn=None) -> Colu
     return expr
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window preprocessing step of training/RAG pipelines.
+    Chunk starts step by ``chunk_chars - overlap``; the final chunk may
+    be short; empty docs yield zero chunks. Pure native expressions
+    (sequence + transform + posexplode): scan-speed, no shuffle, and
+    trivially SQL-mirrorable. Output: (id_col, chunk_idx, chunk_text,
+    chunk_start) — ``chunk_start`` is 1-based to match SQL substring."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.when(n <= 0, F.array().cast("array<long>")).otherwise(
+        F.sequence(
+            F.lit(1).cast("long"),
+            # last start: the smallest 1+k*step covering the tail
+            (F.ceil((F.greatest(n - chunk_chars, F.lit(0))) / step) * step + 1)
+            .cast("long"),
+            F.lit(step).cast("long"),
+        )
+    )
+    chunks = F.transform(starts, lambda s: t.substr(s.cast("int"), F.lit(chunk_chars)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_start", F.col("chunk_idx").cast("long") * step + 1)
+
+
 def md5_hash48(c) -> Column:
     """48-bit deterministic string hash that BOTH Spark and ANSI SQL can
     compute: the first 12 hex chars of md5 parsed base-16 (DuckDB mirror:

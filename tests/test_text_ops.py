@@ -306,3 +306,28 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     with _pytest.raises(ValueError):
         hash_split("k", {"train": 0})
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+    from synapse_etl_jobs_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_chars=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+        )
+    # step=2: starts 1,3,5,7 cover the 10-char doc; last chunk may be short
+    assert by_doc[1] == [(0, 1, "abcd"), (1, 3, "cdef"), (2, 5, "efgh"),
+                         (3, 7, "ghij")]
+    assert by_doc[2] == [(0, 1, "abc")]  # doc shorter than a chunk
+    assert 3 not in by_doc               # empty doc → zero chunks
+    # every adjacent pair overlaps by exactly `overlap` chars
+    for (_, s1, t1), (_, s2, t2) in zip(by_doc[1], by_doc[1][1:]):
+        assert t1[s2 - s1:] == t2[: len(t1) - (s2 - s1)]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap=4)
