@@ -1010,6 +1010,76 @@ def q_lake_changes(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_datasource_read(spark, sf_dir) -> DataFrame:
+    """Spark-4 Python DataSource surface: replay the stream into a
+    merge-on-read table, then read it back through the REGISTERED format
+    (``spark.read.format("synlake")``) — executors read only their
+    bucket's files with pyarrow and LWW-reduce per bucket; the result
+    must equal the library-path read (same CDC oracle)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.sources.lake_datasource import register
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_ds_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    ReplayDriver(table, num_batches=3).replay(ev)
+    register(spark)
+    return (
+        spark.read.format("synlake")
+        .option("path", path)
+        .option("include_internal", "true")
+        .load()
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select("user_id", "event_type", "value", F.col("_seq").alias("seq"))
+    )
+
+
+def q_datasource_point_scan(spark, sf_dir) -> DataFrame:
+    """Offline bucket pruning through the DataSource: an equality filter
+    on the bucket column reaches ``pushFilters``, where a pure-Python
+    port of Spark's xxhash64 prunes ``partitions()`` to the ONE bucket
+    that can hold the key — a point scan plans without any Spark job and
+    reads 1/num_buckets of the table (tests assert the partition count).
+    """
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.sources.lake_datasource import register
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_dsp_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    ReplayDriver(table, num_batches=3).replay(ev)
+    register(spark)
+    return (
+        spark.read.format("synlake")
+        .option("path", path)
+        .load()
+        .filter(F.col("user_id") == 7)
+        .select("user_id", "event_type", "value")
+    )
+
+
 def q_lake_point_scan(spark, sf_dir) -> DataFrame:
     """Bucket-pruned point lookup: scan_keys touches only the buckets the
     probe keys hash to (hash-bucket partition pruning)."""
@@ -1838,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_point_scan": q_lake_point_scan,
         "lake_time_travel": q_lake_time_travel,
         "lake_changes": q_lake_changes,
+        "datasource_read": q_datasource_read,
+        "datasource_point_scan": q_datasource_point_scan,
         "rollup_cascade": q_rollup_cascade,
         "distinct_sketch": q_distinct_sketch,
         "tumbling_window": q_tumbling_window,
@@ -2414,6 +2486,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_COPY_ORACLE,
         "ann_ivf": _ANN_COPY_ORACLE,
         "cdc_lake_merge_mor": _CDC_ORACLE,
+        "datasource_read": _CDC_ORACLE,
+        "datasource_point_scan": """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+         event_id AS seq, user_id, event_type, round(value, 2) AS value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
+""",
         "lake_schema_evolution": """
             WITH ev AS (
               SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,

@@ -68,6 +68,9 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
         )
+        # Python DataSource readers (sources/lake_datasource.py) implement
+        # pushFilters; the reader refuses to initialize unless enabled
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # parquet scans: large splits keep task overhead low at 100 TB
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.compression.codec", "zstd")
