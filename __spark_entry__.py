@@ -443,6 +443,37 @@ def q_chunk_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Train/test decontamination: flag documents sharing an 8-token
+    n-gram with a benchmark subset (every 50th doc plays the eval set).
+    Broadcast-able distinct-gram-hash semi-join — no corpus shuffle, no
+    all-pairs. Portable md5-derived gram hash so DuckDB mirrors it."""
+    from synapse_etl_jobs_spark.operators.text import decontaminate, md5_hash48
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(
+        train, bench, n=8, gram_hash=md5_hash48
+    ).select("doc_id", "n_grams", "n_matched", "contaminated")
+
+
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Sequence packing into 2048-token bins via the DISTRIBUTED prefix
+    sum (range partition → per-partition window → tiny offset window —
+    never a global single-task window). Output is bit-stable across
+    partition counts; the oracle is the plain SQL window cumsum."""
+    from synapse_etl_jobs_spark.operators.packing import pack_sequences
+    from synapse_etl_jobs_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=2048).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 def q_mask_pii(spark, sf_dir) -> DataFrame:
     """PII scrubbing: ordered regexp chain (email → IPv4 → phone) over
     text with planted identifiers; patterns restricted to constructs
@@ -1877,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_pii": q_mask_pii,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -2235,6 +2268,58 @@ def oracle_sql() -> dict[str, str]:
                    c.k * 150 + 1 AS chunk_start,
                    substring(d.text, CAST(c.k * 150 + 1 AS INT), 200) AS chunk_text
             FROM c JOIN documents d ON c.doc_id = d.doc_id
+        """,
+        "decontaminate": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter({_TOKENS}, t -> t <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(list_transform(
+                       range(1, greatest(len(toks) - 7, 1) + 1),
+                       i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+                     ), x -> x <> '')) AS grams
+              FROM tok
+            ), bench AS (
+              SELECT DISTINCT {_MD5H48.format(x="u.gram")} AS gh
+              FROM g, unnest(grams) AS u(gram)
+              WHERE doc_id % 50 = 0
+            ), train AS (
+              SELECT doc_id, len(grams) AS n_grams, grams
+              FROM g WHERE doc_id % 50 <> 0
+            ), ex AS (
+              SELECT t.doc_id, {_MD5H48.format(x="u.gram")} AS gh
+              FROM train t, unnest(t.grams) AS u(gram)
+            ), m AS (
+              SELECT ex.doc_id, count(b.gh) AS n_matched
+              FROM ex LEFT JOIN bench b USING (gh)
+              GROUP BY ex.doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_grams,
+                   CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   coalesce(m.n_matched, 0) >= 1 AS contaminated
+            FROM train t LEFT JOIN m ON t.doc_id = m.doc_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKENS}, x -> x <> '')) AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prior
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(prior // 2048 AS BIGINT) AS pack_id,
+                   CAST(prior % 2048 AS BIGINT) AS pack_offset
+            FROM p
         """,
         "mask_pii": """
             WITH r AS (

@@ -323,3 +323,72 @@ def fingerprint(text_col: str = "text", window: int = 8, token_hash=None) -> Col
     return F.array_sort(
         F.array_distinct(F.filter(mins, lambda x: x.isNotNull()))
     )
+
+
+def token_ngrams(c, n: int = 8) -> Column:
+    """Distinct whitespace-token n-grams of a string, joined by single
+    spaces (native: sequence + slice + concat; no UDF). Documents with
+    fewer than ``n`` tokens contribute their full token string as the
+    single gram — a short doc equal to a benchmark doc still matches."""
+    toks = tokens(c)
+    m = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+            ),
+            lambda g: g != "",  # zero-token doc -> NO grams (never matches)
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_matches: int = 1,
+    gram_hash=None,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing token
+    ``n``-grams with a benchmark/eval corpus (the standard 8-13-gram
+    overlap rule used for LLM training sets — GPT-3 App. C / PaLM-style).
+
+    Scale shape: the benchmark side reduces to DISTINCT gram hashes —
+    typically tiny next to the corpus — so the overlap test is a
+    broadcast-able equi-join keyed on an 8-byte hash (no corpus shuffle
+    when the broadcast fires; AQE decides). The doc side explodes to
+    (doc, gram) pairs, but the per-doc aggregate is map-side partial, so
+    wire volume ≈ matched pairs, not all grams. No all-pairs comparison
+    anywhere.
+
+    ``gram_hash``: Column→Column hash of one gram; default xxhash64
+    (production), ``md5_hash48`` for the SQL-oracle-checked path.
+
+    Returns one row per doc: id, n_grams, n_matched, contaminated.
+    """
+    hf = gram_hash or (lambda g: F.xxhash64(g))
+    d = docs.select(
+        F.col(id_col), token_ngrams(F.col(text_col), n).alias("_grams")
+    ).select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("_gram"),
+    ).withColumn("_gh", hf(F.col("_gram"))).drop("_gram")
+    bench_grams = (
+        benchmark.select(F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"))
+        .select(hf(F.col("_gram")).alias("_gh"))
+        .distinct()
+    )
+    marked = d.join(bench_grams.withColumn("_hit", F.lit(1)), "_gh", "left")
+    out = marked.groupBy(id_col, "n_grams").agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_matched")
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        (F.col("n_matched") >= min_matches).alias("contaminated"),
+    )
