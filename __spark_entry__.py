@@ -474,6 +474,23 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_weighted_mix(spark, sf_dir) -> DataFrame:
+    """Dataset mixing: per-language mixture weights (en 2.5x up, zh 0.5x
+    down, rest 1.0) realized as a pure hash function of (seed, doc_id) —
+    map-side only, no shuffle, no RNG; the DuckDB oracle reproduces the
+    exact multiset including copy indexes."""
+    from synapse_etl_jobs_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_mix(
+        d.select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        weights={"en": 2.5, "zh": 0.5},
+        seed=42,
+    ).select("doc_id", "lang", "copy_idx")
+
+
 def q_mask_pii(spark, sf_dir) -> DataFrame:
     """PII scrubbing: ordered regexp chain (email → IPv4 → phone) over
     text with planted identifiers; patterns restricted to constructs
@@ -1910,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "weighted_mix": q_weighted_mix,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -2320,6 +2338,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prior // 2048 AS BIGINT) AS pack_id,
                    CAST(prior % 2048 AS BIGINT) AS pack_offset
             FROM p
+        """,
+        "weighted_mix": f"""
+            WITH r AS (
+              SELECT doc_id, lang,
+                     {_MD5H48.format(x="'42' || chr(31) || CAST(doc_id AS VARCHAR)")}
+                       % 1000000 AS rh
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang = 'en'
+                            THEN 2 + CASE WHEN rh < 500000 THEN 1 ELSE 0 END
+                          WHEN lang = 'zh'
+                            THEN CASE WHEN rh < 500000 THEN 1 ELSE 0 END
+                          ELSE 1 END AS n
+              FROM r
+            )
+            SELECT doc_id, lang, CAST(u.i AS INT) AS copy_idx
+            FROM c, unnest(range(0, n)) AS u(i)
+            WHERE n > 0
         """,
         "mask_pii": """
             WITH r AS (

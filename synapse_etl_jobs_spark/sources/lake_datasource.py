@@ -418,6 +418,12 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
         if not self._path:
             raise ValueError("synlake_cdc requires .option('path', <table dir>)")
         self._start = int(options.get("startingversion", options.get("startingVersion", 0)))
+        # backpressure: cap how many table versions one micro-batch may
+        # span (Delta's maxFilesPerTrigger analog) — a stream started on a
+        # long-lived table catches up in bounded batches instead of one
+        # giant first batch that overwhelms the sink
+        mvpt = options.get("maxversionspertrigger", options.get("maxVersionsPerTrigger"))
+        self._max_versions = int(mvpt) if mvpt is not None else None
         man = _load_manifest(self._path)
         physical = StructType.fromJson(_logical_schema(man).jsonValue()).add(
             SEQ_COL, "long", True
@@ -433,11 +439,22 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802
         return {"version": self._start}
 
+    _cursor: int | None = None  # highest version this reader has planned
+
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"version": _current_version(self._path)}
+        cur = _current_version(self._path)
+        if self._max_versions is not None:
+            base = self._cursor if self._cursor is not None else self._start
+            # advance at most max_versions past the last planned end, and
+            # NEVER regress (a restarted reader learns the true position
+            # from the first partitions() call, recorded below)
+            cur = max(min(cur, base + self._max_versions), base)
+        self._cursor = cur
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict) -> list[LakePartition]:  # noqa: N802
         lo, hi = int(start["version"]), int(end["version"])
+        self._cursor = max(self._cursor or 0, hi)
         prev = _load_manifest(self._path, lo)
         by_bucket: dict[int, list[tuple[dict, dict]]] = {}
 

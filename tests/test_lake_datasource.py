@@ -322,3 +322,60 @@ def test_lww_reduce_arrow_exact_above_2_53():
     out = lds._lww_reduce_arrow(t, ["k"])
     assert out.num_rows == 1
     assert out.column("v").to_pylist() == [1]
+
+
+def test_stream_max_versions_per_trigger(spark, tmp_path):
+    """Backpressure: maxVersionsPerTrigger=1 must catch up a 3-commit
+    backlog in ≥3 bounded micro-batches (never one giant batch) and
+    still converge to the source state."""
+    a_path, b_path = str(tmp_path / "A"), str(tmp_path / "B")
+    ckpt = str(tmp_path / "ckpt")
+    a = LakeTable.create(spark, a_path, SCHEMA, KEYS, num_buckets=2, write_mode="mor")
+    b = LakeTable.create(spark, b_path, SCHEMA, KEYS, num_buckets=2, write_mode="mor")
+    for i in range(3):
+        a = LakeTable.load(spark, a_path)
+        a.merge(
+            _events(spark, [(f"r{i}", "p", float(i), "INSERT", i + 1)]),
+            batch_id=i,
+        )
+    register(spark)
+    batch_ids = []
+
+    def apply_to_b(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        tb = LakeTable.load(spark, b_path)
+        updates = batch_df.withColumn(
+            "op",
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "DELETE").otherwise(
+                "UPSERT"
+            ),
+        ).withColumnRenamed("_seq", "seq").drop("_deleted")
+        tb.merge(updates, batch_id=int(batch_id), stream_id="repl")
+        batch_ids.append(int(batch_id))  # AFTER the merge lands
+
+    # NOTE availableNow would capture the target offset once and run ONE
+    # batch to it (admission control isn't consulted) — pacing applies to
+    # continuous micro-batch triggers, so poll until caught up, then stop
+    q = (
+        spark.readStream.format("synlake_cdc")
+        .option("path", a_path)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(apply_to_b)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if LakeTable.load(spark, b_path).read().count() == 3:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert len(batch_ids) >= 3, f"backlog not paced: {batch_ids}"
+    assert_same(
+        LakeTable.load(spark, b_path).read(), LakeTable.load(spark, a_path).read()
+    )
