@@ -55,7 +55,15 @@ BENCH_QUERIES = [
     "catalog_pushdown_scan",
     "sql_insert_envelope",
     "node_snapshots_job",
+    "decontaminate",
+    "pack_sequences",
+    "weighted_mix",
+    "datasource_read",
 ]
+
+# comma-separated query names to exclude (bisection/debug aid)
+_SKIP = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
+BENCH_QUERIES = [q for q in BENCH_QUERIES if q not in _SKIP]
 
 
 def run_cdc_replay(spark, n_events: int, n_batches: int, mode: str = "mor") -> dict:

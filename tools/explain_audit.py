@@ -71,6 +71,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]),
     ("range_join", ["HashJoin"],
      ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]),
+    # decontamination: distinct-gram equi-join (broadcast-able), never a
+    # cartesian; all native (no Python)
+    ("decontaminate", ["HashAggregate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
+    # sequence packing: the corpus-side running sum is a window
+    # PARTITIONED by spark_partition_id (parallel); the offsets frame is
+    # the only unpartitioned window and is #partitions rows
+    ("pack_sequences", ["windowspecdefinition(_pid"],
+     ["CartesianProduct", "BatchEvalPython"]),
+    # mixing is one map-side select + explode: no shuffle at all
+    ("weighted_mix", ["Generate"],
+     ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
