@@ -331,7 +331,12 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
         if not path:
             raise ValueError("synlake requires .option('path', <table dir>)")
         version = options.get("version")
+        self._path = path
         self._man = _load_manifest(path, int(version) if version is not None else None)
+        # Pin the resolved version so a reload after pickling (Spark may
+        # round-trip the reader between planning calls) sees the SAME
+        # snapshot even if a concurrent commit moved CURRENT.
+        self._pinned_version = int(self._man["table_version"])
         self._include_internal = (
             str(options.get("include_internal", "false")).lower() == "true"
         )
@@ -354,12 +359,29 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
             ).add(DELETED_COL, "boolean", True)
         return self._logical
 
+    def __getstate__(self):
+        """Executors only run ``read(partition)`` — ship the Arrow schema
+        and key list, NOT the manifest (O(files) JSON that would ride
+        along with every task at 100 TB). Planning calls (pushFilters /
+        partitions) that land on a fresh worker lazily reload the pinned
+        manifest version via ``_manifest()``."""
+        state = dict(self.__dict__)
+        state.pop("_man", None)
+        return state
+
+    def _manifest(self) -> dict:
+        man = getattr(self, "_man", None)
+        if man is None:
+            man = _load_manifest(self._path, self._pinned_version)
+            self._man = man
+        return man
+
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Bucket pruning on bucket-column equality.  All filters are
         returned as unhandled (Spark re-applies them — pruning is partial
         filtering, never row-exact), but an ``EqualTo`` on the single
         bucket column narrows ``partitions()`` to one bucket."""
-        bucket_cols = list(self._man["bucket_cols"])
+        bucket_cols = list(self._manifest()["bucket_cols"])
         remaining = []
         for f in filters:
             if (
@@ -371,7 +393,7 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
                 try:
                     tname = self._logical[bucket_cols[0]].dataType.typeName()
                     self._pruned_bucket = bucket_of(
-                        [(f.value, tname)], int(self._man["num_buckets"])
+                        [(f.value, tname)], int(self._manifest()["num_buckets"])
                     )
                 except NotImplementedError:
                     pass
@@ -379,8 +401,9 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
         return remaining
 
     def partitions(self) -> list[LakePartition]:
+        man = self._manifest()
         out = []
-        for bid, entries in self._man["buckets"].items():
+        for bid, entries in man["buckets"].items():
             if self._pruned_bucket is not None and int(bid) != self._pruned_bucket:
                 continue
             if not entries:
@@ -389,12 +412,12 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
             if has_delta:
                 # the bucket reduces as one unit (keys never cross buckets)
                 out.append(
-                    LakePartition(_file_plan(self._man, entries), True)
+                    LakePartition(_file_plan(man, entries), True)
                 )
             else:
                 # pure-base bucket: already merged — file-level parallelism
                 out.extend(
-                    LakePartition(_file_plan(self._man, [e]), False)
+                    LakePartition(_file_plan(man, [e]), False)
                     for e in entries
                 )
         return out

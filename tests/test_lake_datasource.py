@@ -379,3 +379,17 @@ def test_stream_max_versions_per_trigger(spark, tmp_path):
     assert_same(
         LakeTable.load(spark, b_path).read(), LakeTable.load(spark, a_path).read()
     )
+
+
+def test_batch_reader_pickles_without_manifest(spark, mor_table):
+    """The executor-side pickle must not carry the manifest (O(files)
+    payload per task at scale); read(partition) still works on the
+    restored copy."""
+    import pickle
+
+    reader = LakeBatchReader({"path": mor_table.path})
+    parts = reader.partitions()
+    restored = pickle.loads(pickle.dumps(reader))
+    assert not hasattr(restored, "_man")
+    rows = sum(b.num_rows for p in parts for b in restored.read(p))
+    assert rows == mor_table.read().count()
