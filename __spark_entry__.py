@@ -458,6 +458,27 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "n_grams", "n_matched", "contaminated")
 
 
+def q_document_frequency(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary with doc frequency + smoothed IDF. Map-side
+    partial aggregates off the exploded terms; N joins in as a broadcast
+    single-row aggregate — no collect, no global window."""
+    from synapse_etl_jobs_spark.operators.text import document_frequency
+
+    d = _t(spark, sf_dir, "documents")
+    return document_frequency(d).select("term", "doc_freq", "idf")
+
+
+def q_tf_idf_topk(spark, sf_dir) -> DataFrame:
+    """Top-5 TF-IDF keywords per document: fact (doc-term tf) × dim
+    (vocab idf) join, then a per-document top-k window (millions of
+    independent keys — full parallelism). Rank orders by the 6-dp
+    rounded score so boundaries cannot drift between engines."""
+    from synapse_etl_jobs_spark.operators.text import tf_idf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tf_idf_topk(d, k=5).select("doc_id", "kw_rank", "term", "tf", "score")
+
+
 def q_pack_sequences(spark, sf_dir) -> DataFrame:
     """Sequence packing into 2048-token bins via the DISTRIBUTED prefix
     sum (range partition → per-partition window → tiny offset window —
@@ -1926,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
+        "document_frequency": q_document_frequency,
+        "tf_idf_topk": q_tf_idf_topk,
         "pack_sequences": q_pack_sequences,
         "weighted_mix": q_weighted_mix,
         "lang_id": q_lang_id,
@@ -2271,6 +2294,53 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
             + " FROM documents)"
         ),
+        "document_frequency": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT term, doc_freq,
+                   round(ln((n.n + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf
+            FROM dfq, n
+        """,
+        "tf_idf_topk": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+              SELECT term,
+                     round(ln((n.n + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf
+              FROM dfq, n
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * idf.idf, 6) AS score
+              FROM tf JOIN idf USING (term)
+            ),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term ASC
+                     ) AS kw_rank,
+                     term, tf, score
+              FROM scored
+            )
+            SELECT doc_id, kw_rank, term, tf, score
+            FROM ranked WHERE kw_rank <= 5
+        """,
         "chunk_documents": """
             WITH c AS (
               SELECT doc_id,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sql_insert_envelope",
     "node_snapshots_job",
     "decontaminate",
+    "tf_idf_topk",
     "pack_sequences",
     "weighted_mix",
     "datasource_read",

@@ -392,3 +392,84 @@ def decontaminate(
         "n_matched",
         (F.col("n_matched") >= min_matches).alias("contaminated"),
     )
+
+
+def terms(c) -> Column:
+    """Normalized word terms: lowercase, split on any non-alphanumeric
+    run, empties removed. Identical regex semantics in Java and RE2, so
+    the ANSI-SQL oracle reproduces it verbatim."""
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def document_frequency(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with document frequency and smoothed IDF
+    (``ln((N+1)/(df+1)) + 1``, the scikit-learn convention).
+
+    Scale shape: explode to (doc, term), distinct within each doc via the
+    per-doc aggregate (map-side partial — wire ≈ distinct doc-term pairs,
+    not total tokens), then a term-keyed count. N (corpus size) joins in
+    as a broadcast single-row aggregate, never a collect. Output is
+    |vocab| rows — the small side of any downstream TF-IDF join.
+
+    Returns: term, doc_freq, idf (6-dp rounded for cross-engine bit
+    stability of downstream rankings)."""
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(
+                F.log((F.col("_n") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0, 6
+            ).alias("idf"),
+        )
+    )
+
+
+def tf_idf_topk(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document.
+
+    Scale shape: term frequencies aggregate map-side partial off the
+    exploded tokens; the IDF table (|vocab| rows, from
+    :func:`document_frequency`) joins on ``term`` — the classic
+    big-fact × small-dim shape AQE broadcasts when vocab fits, shuffles
+    when it doesn't. The final top-k window partitions by document id
+    (millions of independent keys — full parallelism, nothing global).
+    Ranking orders by the 6-dp ROUNDED score then term, so rank
+    boundaries cannot drift between engines on double noise.
+
+    Returns: id, kw_rank (1-based), term, tf, score."""
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = document_frequency(docs, text_col, id_col).drop("doc_freq")
+    scored = doc_terms.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(id_col, "kw_rank", "term", "tf", "score")
+    )

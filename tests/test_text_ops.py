@@ -331,3 +331,46 @@ def test_chunk_documents(spark):
         assert t1[s2 - s1:] == t2[: len(t1) - (s2 - s1)]
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_terms_normalization(spark):
+    df = docs(spark, ["Foo-BAR baz42, foo!  ", "", "...,;"])
+    out = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", text.terms("text").alias("t")).collect()}
+    assert out[0] == ["foo", "bar", "baz42", "foo"]
+    assert out[1] == []  # empty doc -> no terms
+    assert out[2] == []  # punctuation-only doc -> no terms
+
+
+def test_document_frequency_and_idf(spark):
+    import math
+
+    df = docs(spark, ["apple banana apple", "banana cherry", "apple"])
+    out = {r["term"]: r for r in text.document_frequency(df).collect()}
+    assert out["apple"]["doc_freq"] == 2  # per-doc distinct, not 3
+    assert out["banana"]["doc_freq"] == 2
+    assert out["cherry"]["doc_freq"] == 1
+    assert out["apple"]["idf"] == round(math.log(4 / 3) + 1, 6)
+    assert out["cherry"]["idf"] == round(math.log(4 / 2) + 1, 6)
+
+
+def test_tf_idf_topk_ranking_and_ties(spark):
+    import math
+
+    # doc 0: 'rare' appears once (df=1), 'common' twice (df=2) -- rare
+    # outranks common only if tf*idf says so; doc 1 pins the tie-break
+    # (equal score -> term ascending).
+    df = docs(spark, ["rare common common", "zz aa"])
+    out = text.tf_idf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d0 = sorted(by_doc[0], key=lambda r: r["kw_rank"])
+    idf1 = round(math.log(3 / 2) + 1, 6)  # df=1 -> ln((2+1)/(1+1))+1, N=2
+    assert d0[0]["term"] == "common" and d0[0]["score"] == round(2 * idf1, 6)
+    assert d0[1]["term"] == "rare" and d0[1]["score"] == round(1 * idf1, 6)
+    d1 = sorted(by_doc[1], key=lambda r: r["kw_rank"])
+    # aa and zz tie on score -> lexicographic term order breaks it
+    assert [r["term"] for r in d1] == ["aa", "zz"]
+    # every doc emits at most k rows
+    assert all(len(v) <= 2 for v in by_doc.values())

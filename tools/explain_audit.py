@@ -84,6 +84,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # mixing is one map-side select + explode: no shuffle at all
     ("weighted_mix", ["Generate"],
      ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # TF-IDF: term frequencies aggregate map-side partial (partial_count
+    # before the exchange); the doc-term × vocab join and per-doc top-k
+    # window stay JVM-side with no cartesian anywhere
+    ("tf_idf_topk", ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
