@@ -421,10 +421,23 @@ def document_frequency(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _idf_of(doc_terms, docs, id_col)
+
+
+def _idf_of(doc_terms: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """IDF table from an existing (doc, term, tf) aggregate — kept
+    separate so tf_idf_topk can feed the SAME doc_terms subplan and get
+    its shuffle reused (ReusedExchange) instead of a second corpus scan."""
     n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
     return (
         doc_terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        # sum(least(1, tf)) == count(*) because tf >= 1 by construction,
+        # but the optimizer cannot prove that, so it keeps tf in this
+        # branch's child aggregate instead of rewriting it to a distinct.
+        # Both branches then plan the byte-identical groupBy(id, term)
+        # exchange, and ReuseExchange materializes it ONCE — tf_idf_topk
+        # costs one corpus scan + one explode shuffle, not two.
+        .agg(F.sum(F.least(F.lit(1), F.col("tf"))).alias("doc_freq"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
@@ -456,7 +469,11 @@ def tf_idf_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf = document_frequency(docs, text_col, id_col).drop("doc_freq")
+    # derive IDF from the SAME doc_terms plan: the groupBy(id, term)
+    # shuffle is byte-identical on both branches, so Catalyst's
+    # ReuseExchange materializes it once — one corpus scan, not two
+    # (asserted in tools/explain_audit.py)
+    idf = _idf_of(doc_terms, docs, id_col).drop("doc_freq")
     scored = doc_terms.join(idf, "term").select(
         id_col,
         "term",

@@ -113,6 +113,26 @@ def _semijoin_plan_check(spark, sf_dir):
     return "dedup_lww_semijoin", txt, problems
 
 
+def _tfidf_reuse_check(spark, sf_dir):
+    """tf_idf_topk's tf and idf branches share the groupBy(id, term)
+    subplan; AQE's final plan must materialize that exchange ONCE
+    (ReusedExchange) so the operator costs one corpus scan + one explode
+    shuffle, not two. Runtime check: the static plan can't show it."""
+    from synapse_etl_jobs_spark.operators.text import tf_idf_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = tf_idf_topk(d)
+    q.collect()  # finalize the adaptive plan
+    txt = q._jdf.queryExecution().executedPlan().toString()
+    problems = []
+    if "ReusedExchange" not in txt:
+        problems.append(
+            "MISSING required plan fragment: 'ReusedExchange' "
+            "(doc_terms shuffle must be shared between tf and idf branches)"
+        )
+    return "tf_idf_reused_exchange", txt, problems
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -138,6 +158,7 @@ def main() -> None:
         problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
         results.append((name, txt, problems))
     results.append(_semijoin_plan_check(spark, sf_dir))
+    results.append(_tfidf_reuse_check(spark, sf_dir))
 
     for name, txt, problems in results:
         status = "OK" if not problems else "FAIL"
