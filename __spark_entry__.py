@@ -116,6 +116,40 @@ def q_cdc_lake_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_incremental_agg_view(spark, sf_dir) -> DataFrame:
+    """Incremental materialized-view maintenance: replay the change
+    stream into a merge-on-read source table in two batches; a grouped
+    aggregate view (count + exact integer sum per event_type) is built
+    after batch 1 and ADVANCED — not recomputed — after batch 2 by
+    diffing only the affected buckets' pre/post contributions
+    (lake/incremental.py). Batches split by seq parity: LWW merges are
+    order-insensitive, so the maintained view must equal a from-scratch
+    aggregation of the final state (the oracle)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import IncrementalAggView, LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("ivm_entry_")
+    source = LakeTable.create(
+        spark, path + "/src", schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    source.merge(ev.filter(F.col("seq") % 2 == 0), batch_id=0)
+    view = IncrementalAggView.create(
+        spark, path + "/view", source, ["event_type"],
+        {"value_cents": "CAST(round(value * 100) AS BIGINT)"},
+    )
+    source.merge(ev.filter(F.col("seq") % 2 == 1), batch_id=1)
+    view.advance()
+    return view.read()
+
+
 # ---------------------------------------------------------------------------
 # Reference relational operators (SURVEY.md §2.2, §2.5, §2.6)
 # ---------------------------------------------------------------------------
@@ -839,6 +873,40 @@ def q_window_topk(spark, sf_dir) -> DataFrame:
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def q_group_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact grouped quantiles (p50/p90/p99 of value per event type):
+    Spark's exact ``percentile`` aggregate — linear interpolation,
+    matching ANSI ``quantile_cont`` — with map-side partial aggregation
+    (the per-group buffer shuffles, not the rows). For 100-TB inputs the
+    engine swaps in ``percentile_approx`` (KLL-style mergeable sketch,
+    same plan shape); the exact form is the oracle-gated baseline."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_rollup_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Multi-level aggregation in ONE pass: ``df.rollup(a, b)`` computes
+    (a,b), (a), and grand-total groups via Catalyst's Expand operator —
+    each input row fans out to the 3 grouping sets BEFORE the map-side
+    partial aggregate, so the shuffle carries per-group buffers, not
+    3x the rows, and no second job re-reads the source (vs the naive
+    UNION ALL of three groupBys = 3 scans). ``grouping_id`` is the
+    standard bitmask disambiguating a NULL group key from a subtotal
+    row. Scale: identical shape to a flat groupBy — partial agg, one
+    exchange on the grouping-set key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping_id().cast("int").alias("gid"),
     )
 
 
@@ -1924,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_lake_merge": q_cdc_lake_merge,
+        "incremental_agg_view": q_incremental_agg_view,
         "apply_mapping": q_apply_mapping,
         "filter_rlike": q_filter_rlike,
         "union_conformed": q_union_conformed,
@@ -1972,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_decode": q_url_decode,
         "reshape_array": q_reshape_array,
         "window_topk": q_window_topk,
+        "group_percentiles": q_group_percentiles,
+        "rollup_grouping_sets": q_rollup_grouping_sets,
         "iso8601_roundtrip": q_iso8601_roundtrip,
         "json_gzip_roundtrip": q_json_gzip_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -2158,6 +2229,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _CDC_ORACLE,
         "cdc_final_state_salted": _CDC_ORACLE,
         "cdc_lake_merge": _CDC_ORACLE,
+        "incremental_agg_view": f"""
+            WITH final_state AS ({_CDC_ORACLE})
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM final_state GROUP BY event_type
+        """,
         "apply_mapping": """
             SELECT event_id AS id, epoch_ms(ts) AS ts_ms, user_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -2621,6 +2699,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_id, round(value, 2) AS value, CAST(rnk AS INT) AS rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "group_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "rollup_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "iso8601_roundtrip": """
             SELECT event_id,

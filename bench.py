@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "weighted_mix",
     "datasource_read",
+    "group_percentiles",
+    "rollup_grouping_sets",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)

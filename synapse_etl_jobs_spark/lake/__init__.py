@@ -18,4 +18,5 @@ Scale design:
   and a failed job never corrupts the table (the pointer flips last).
 """
 
+from synapse_etl_jobs_spark.lake.incremental import IncrementalAggView  # noqa: F401
 from synapse_etl_jobs_spark.lake.table import LakeTable  # noqa: F401

@@ -1,0 +1,268 @@
+"""Incremental materialized-view maintenance over a LakeTable.
+
+The CDC engine's changelog is only useful if something can CONSUME it
+incrementally: this module keeps a grouped-aggregate table (COUNT +
+integer SUMs per group) provably equal to re-aggregating the source
+from scratch, at a maintenance cost proportional to the CHANGED data,
+not the table.
+
+Algorithm — bucket-level recompute diff (no per-key pre-image joins):
+
+1. The source's merge-on-read commits record exactly which bucket each
+   delta file landed in; versions ``(since, to]`` therefore name the
+   set of AFFECTED BUCKETS — every key outside them is untouched.
+2. Read those buckets twice — the snapshot at ``since`` and at ``to``
+   (time travel over immutable manifests) — and aggregate each side's
+   group contributions with opposite signs in ONE union + groupBy
+   (a single shuffle keyed by group).
+3. Non-zero net adjustments join (broadcast when small) against the
+   current view rows and MERGE in: groups whose count reaches zero
+   become tombstoned DELETEs, everything else upserts.
+
+Cost is O(data in affected buckets) + O(changed groups): with 10^4
+buckets and a batch touching 1% of them, maintenance reads 1% of the
+source regardless of total table size. The degenerate case (every
+bucket touched) is a full recompute — which is the correct worst case.
+Against the alternative (retraction from per-key pre-images), this
+needs no key-level old-value lookup, handles group migration (a row's
+group column changing) for free, and never depends on the batch's
+internal ordering.
+
+Sums are maintained over integer (``long``) expressions so that
+incremental ``+x/-x`` arithmetic is EXACT: float sums would drift from
+a from-scratch recompute under reordering (non-associative addition).
+Averages are derived on read (``sum/n``); MIN/MAX are deliberately not
+offered — they are not retractable without per-key state (deleting the
+current minimum requires knowing the runner-up), so views needing them
+should ``refresh()`` on a schedule instead.
+
+Exactly-once: each ``advance`` merges with the source version as both
+the LWW sequence and the idempotency batch marker, so re-running a
+crashed advance is a no-op and concurrent advancers cannot double-apply
+(the view table's manifest CAS rejects the loser).
+
+Reference parity: the reference keeps Athena aggregates fresh by
+re-running full INSERT OVERWRITE backfills
+(/root/reference/src/scripts/backfill_jobs/backfill_acl_snapshots_athena.sql:67-105);
+this replaces that re-scan-the-world pattern with incremental
+maintenance driven by the table's own changelog.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake.table import (
+    DELETED_COL,
+    SEQ_COL,
+    LakeTable,
+    Manifest,
+)
+
+_STREAM = "ivm"  # marker stream id on the view table
+
+
+def _entry_paths_by_bucket(m: Manifest) -> dict[str, set[str]]:
+    return {b: {e["path"] for e in lst} for b, lst in m.buckets.items()}
+
+
+class IncrementalAggView:
+    """A LakeTable holding ``group_cols + n_rows + sum columns``, kept
+    in sync with a source LakeTable by consuming its version history."""
+
+    def __init__(self, source: LakeTable, view: LakeTable,
+                 group_cols: list[str], sum_exprs: dict[str, str]):
+        self.source = source
+        self.view = view
+        self.group_cols = list(group_cols)
+        self.sum_exprs = dict(sum_exprs)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        sum_exprs: dict[str, str] | None = None,
+        *,
+        num_buckets: int = 4,
+    ) -> "IncrementalAggView":
+        """Create the view table and initialize it from the source's
+        CURRENT snapshot (one full aggregation — the only full scan the
+        view ever needs while the source stays merge-on-read).
+
+        ``sum_exprs`` maps output column name -> SQL expression over
+        source rows, cast to ``long`` (e.g. ``{"bytes": "length(content)"}``).
+        Group columns must be non-null in practice (they become the view
+        table's key; coalesce a sentinel in the source if needed).
+        """
+        sum_exprs = dict(sum_exprs or {})
+        src_schema = source.manifest.current_schema()
+        schema = StructType()
+        for c in group_cols:
+            schema = schema.add(c, src_schema[c].dataType, True)
+        schema = schema.add("n_rows", "long", True)
+        for name in sum_exprs:
+            schema = schema.add(name, "long", True)
+        view = LakeTable.create(
+            spark, path, schema, list(group_cols),
+            num_buckets=num_buckets, write_mode="cow",
+        )
+        self = cls(source, view, list(group_cols), sum_exprs)
+        init_version = source.manifest.table_version
+        aggregated = self._aggregate(source.read())
+        self._merge_rows(
+            aggregated.withColumn("_ivm_op", F.lit("UPSERT")), init_version
+        )
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, source: LakeTable,
+             group_cols: list[str], sum_exprs: dict[str, str]) -> "IncrementalAggView":
+        return cls(source, LakeTable.load(spark, path), group_cols, dict(sum_exprs))
+
+    # -- state ------------------------------------------------------------
+
+    @property
+    def applied_version(self) -> int:
+        """Highest source version folded into the view (marker-derived,
+        so it survives process restarts and crashed advances)."""
+        marks = self.view.manifest.applied_batches.get(_STREAM, {})
+        if not marks:
+            raise ValueError("view has no applied-version marker (not created via create()?)")
+        return max(int(b) for b in marks)
+
+    # -- internals --------------------------------------------------------
+
+    def _aggregate(self, rows: DataFrame, sign: int = 1) -> DataFrame:
+        s = F.lit(int(sign))
+        aggs = [F.sum(s).alias("n_rows")] + [
+            F.sum(F.expr(e).cast("long") * s).alias(name)
+            for name, e in self.sum_exprs.items()
+        ]
+        return rows.groupBy(*self.group_cols).agg(*aggs)
+
+    def _bucket_rows(self, version: int, bucket_ids: list[str]) -> DataFrame:
+        """Live rows of the given source buckets at a table version
+        (LWW-reduced, tombstones dropped) — the time-travel read path
+        restricted to the affected buckets."""
+        t = LakeTable.load(self.source.spark, self.source.path, version=version)
+        entries = [e for b in bucket_ids for e in t.manifest.buckets.get(b, [])]
+        df = t._current_view(entries)
+        if df is None:
+            return self.source.spark.createDataFrame(
+                [], t.manifest.current_schema().add(SEQ_COL, "long", True)
+                .add(DELETED_COL, "boolean", True)
+            )
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+
+    def _merge_rows(self, updates: DataFrame, source_version: int) -> dict[str, Any]:
+        return self.view.merge(
+            updates.withColumn("_ivm_seq", F.lit(int(source_version))),
+            op_col="_ivm_op", seq_col="_ivm_seq",
+            stream_id=_STREAM, batch_id=int(source_version),
+            collect_lineage=False,
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def advance(self, to_version: int | None = None) -> dict[str, Any]:
+        """Fold source versions ``(applied, to]`` into the view.
+
+        Raises if a selected version rewrote base files (copy-on-write
+        merge or compaction) — those carry no bucket-delta record; call
+        ``refresh()`` for that window instead.
+        """
+        src = LakeTable.load(self.source.spark, self.source.path)
+        since = self.applied_version
+        to = src.manifest.table_version if to_version is None else int(to_version)
+        if to <= since:
+            return {"applied": False, "reason": "up_to_date", "version": since}
+
+        # affected buckets = buckets that gained files in (since, to];
+        # any rewritten/vanished base file means CoW or compact ran.
+        prev = LakeTable.load(src.spark, src.path, version=since).manifest
+        affected: set[str] = set()
+        prev_paths = _entry_paths_by_bucket(prev)
+        for v in range(since + 1, to + 1):
+            cur = LakeTable.load(src.spark, src.path, version=v).manifest
+            cur_paths = _entry_paths_by_bucket(cur)
+            for b, paths in cur_paths.items():
+                old = prev_paths.get(b, set())
+                if old - paths:
+                    raise ValueError(
+                        f"source version {v} rewrote base files (copy-on-write "
+                        "merge or compaction) — use refresh() for this window"
+                    )
+                if paths - old:
+                    affected.add(b)
+            prev_paths = cur_paths
+
+        if not affected:
+            return self._merge_rows(
+                self.view.read().limit(0).withColumn("_ivm_op", F.lit("UPSERT")), to
+            ) | {"affected_buckets": 0}
+
+        bucket_ids = sorted(affected)
+        # one union + one groupBy: post-contributions minus pre-contributions
+        pre = self._bucket_rows(since, bucket_ids)
+        post = self._bucket_rows(to, bucket_ids)
+        sum_cols = list(self.sum_exprs)
+        nonzero = F.col("n_rows") != 0
+        for c in sum_cols:
+            nonzero = nonzero | (F.col(c) != 0)
+        adj = (
+            self._aggregate(post, 1)
+            .unionByName(self._aggregate(pre, -1))
+            .groupBy(*self.group_cols)
+            .agg(*[F.sum(c).alias(c) for c in ["n_rows", *sum_cols]])
+            .filter(nonzero)
+        )
+
+        # apply: current view values + adjustments; n==0 ⇒ group gone
+        cur_view = self.view.read()
+        merged = adj.alias("a").join(
+            cur_view.alias("v"), on=self.group_cols, how="left"
+        ).select(
+            *self.group_cols,
+            *[
+                (F.coalesce(F.col(f"v.{c}"), F.lit(0)) + F.col(f"a.{c}")).alias(c)
+                for c in ["n_rows", *sum_cols]
+            ],
+        ).withColumn(
+            "_ivm_op", F.when(F.col("n_rows") == 0, F.lit("DELETE")).otherwise(F.lit("UPSERT"))
+        )
+        stats = self._merge_rows(merged, to)
+        return stats | {"affected_buckets": len(bucket_ids), "since": since, "to": to}
+
+    def refresh(self) -> dict[str, Any]:
+        """Full recompute fallback (for windows crossed by CoW merges or
+        compaction): re-aggregate the source snapshot, upsert every live
+        group, and tombstone groups that vanished — one source scan, same
+        end state as ``create`` from scratch."""
+        src = LakeTable.load(self.source.spark, self.source.path)
+        to = src.manifest.table_version
+        fresh = self._aggregate(src.read())
+        cur = self.view.read().select(*self.group_cols)
+        gone = cur.join(fresh.select(*self.group_cols), self.group_cols, "left_anti")
+        sum_cols = list(self.sum_exprs)
+        updates = fresh.withColumn("_ivm_op", F.lit("UPSERT")).unionByName(
+            gone.select(
+                *self.group_cols,
+                *[F.lit(0).cast("long").alias(c) for c in ["n_rows", *sum_cols]],
+            ).withColumn("_ivm_op", F.lit("DELETE"))
+        )
+        stats = self._merge_rows(updates, to)
+        return stats | {"refreshed": True, "to": to}
+
+    # -- read -------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.view.read()

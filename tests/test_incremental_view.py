@@ -1,0 +1,139 @@
+"""Incremental materialized-view maintenance (lake/incremental.py):
+the view must stay bit-equal to a from-scratch re-aggregation of the
+source after every advance, across inserts / updates / deletes / group
+migration, and must refuse windows crossed by base-file rewrites."""
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import IncrementalAggView, LakeTable
+
+SCHEMA = (
+    StructType()
+    .add("repo", "string")
+    .add("path", "string")
+    .add("lang", "string")
+    .add("n_bytes", "long")
+)
+GROUPS = ["lang"]
+SUMS = {"bytes": "n_bytes", "files2x": "n_bytes * 0 + 2"}
+
+
+def _recompute(source):
+    return {
+        (r["lang"],): (r["n"], r["b"], r["f"])
+        for r in source.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("b"),
+            F.sum(F.lit(2)).alias("f"),
+        )
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {
+        (r["lang"],): (r["n_rows"], r["bytes"], r["files2x"])
+        for r in view.read().collect()
+    }
+
+
+def _batch(spark, rows):
+    # rows: (op, seq, repo, path, lang, n_bytes)
+    return spark.createDataFrame(
+        rows, "op string, seq long, repo string, path string, lang string, n_bytes long"
+    )
+
+
+def test_advance_matches_recompute_random_batches(spark, tmp_path):
+    rng = random.Random(7)
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=8, write_mode="mor",
+    )
+    langs = ["py", "rs", "go", "sql"]
+    keys = [(f"r{i % 5}", f"f{i}") for i in range(40)]
+    live = set()
+    seq = 0
+
+    def random_batch(n):
+        nonlocal seq
+        rows = []
+        for _ in range(n):
+            seq += 1
+            repo, path = rng.choice(keys)
+            if (repo, path) in live and rng.random() < 0.25:
+                rows.append(("DELETE", seq, repo, path, None, None))
+                live.discard((repo, path))
+            else:
+                rows.append(
+                    ("UPSERT", seq, repo, path, rng.choice(langs), rng.randrange(1, 500))
+                )
+                live.add((repo, path))
+        return rows
+
+    source.merge(_batch(spark, random_batch(30)), batch_id=0)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), source, GROUPS, SUMS
+    )
+    assert _view_state(view) == _recompute(source)
+
+    for b in range(1, 4):
+        source.merge(_batch(spark, random_batch(25)), batch_id=b)
+        stats = view.advance()
+        assert stats["affected_buckets"] >= 1
+        assert _view_state(view) == _recompute(source)
+
+    # advance with nothing new is a no-op
+    assert view.advance()["reason"] == "up_to_date"
+    assert view.applied_version == source.manifest.table_version
+
+
+def test_group_migration_and_disappearance(spark, tmp_path):
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(
+        _batch(spark, [("UPSERT", 1, "r", "a", "py", 10), ("UPSERT", 2, "r", "b", "rs", 20)]),
+        batch_id=0,
+    )
+    view = IncrementalAggView.create(spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+
+    # 'a' migrates py -> rs; 'b' deleted: py group vanishes, rs has only 'a'
+    source.merge(
+        _batch(spark, [("UPSERT", 3, "r", "a", "rs", 11), ("DELETE", 4, "r", "b", None, None)]),
+        batch_id=1,
+    )
+    view.advance()
+    assert _view_state(view) == {("rs",): (1, 11, 2)} == _recompute(source)
+
+
+def test_cow_window_rejected_and_refresh_recovers(spark, tmp_path):
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(_batch(spark, [("UPSERT", 1, "r", "a", "py", 5)]), batch_id=0)
+    view = IncrementalAggView.create(spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+
+    source.merge(_batch(spark, [("UPSERT", 2, "r", "b", "go", 7)]), batch_id=1)
+    source.compact()  # rewrites base files → no bucket-delta record
+    source = LakeTable.load(spark, str(tmp_path / "src"))
+
+    try:
+        view.advance()
+        raised = False
+    except ValueError as e:
+        raised = True
+        assert "refresh()" in str(e)
+    assert raised
+
+    view.refresh()
+    assert _view_state(view) == _recompute(source)
+    # after refresh the watermark is current again; advance is a no-op
+    assert view.advance()["reason"] == "up_to_date"

@@ -84,6 +84,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # mixing is one map-side select + explode: no shuffle at all
     ("weighted_mix", ["Generate"],
      ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # exact grouped quantiles: partial_percentile BEFORE the exchange
+    # (per-group buffers shuffle, not rows); never a global sort/window
+    ("group_percentiles", ["partial_percentile", "ObjectHashAggregate"],
+     ["Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # rollup: ONE scan fanned out by Expand into the 3 grouping sets,
+    # partial agg before the exchange — never a UNION of 3 re-scans
+    ("rollup_grouping_sets", ["Expand", "HashAggregate", "partial_"],
+     ["Union", "Window", "BatchEvalPython", "ArrowEvalPython"]),
     # TF-IDF: term frequencies aggregate map-side partial (partial_count
     # before the exchange); the doc-term × vocab join and per-doc top-k
     # window stay JVM-side with no cartesian anywhere
