@@ -116,6 +116,29 @@ def q_cdc_lake_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark, sf_dir) -> DataFrame:
+    """Interval join, batch-parity form (streaming/joins.py): purchases
+    attributed to the view events they followed within 30 minutes, per
+    user. The SAME definition on two streams plans a watermarked
+    StreamingSymmetricHashJoin with bounded state (pytest-pinned in
+    tests/test_stream_join.py); on batch frames it is an equi-key hash
+    join with the interval as a post-join filter — never a cartesian."""
+    from synapse_etl_jobs_spark.streaming import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return interval_join(
+        views, buys, ["user_id"], lower="0 seconds", upper="30 minutes",
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("view_event"),
+        F.col("r_event_id").alias("buy_event"),
+        F.unix_millis(F.col("l_ts").cast("timestamp")).alias("view_ms"),
+        F.unix_millis(F.col("r_ts").cast("timestamp")).alias("buy_ms"),
+    )
+
+
 def q_incremental_agg_view(spark, sf_dir) -> DataFrame:
     """Incremental materialized-view maintenance: replay the change
     stream into a merge-on-read source table in two batches; a grouped
@@ -1993,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_lake_merge": q_cdc_lake_merge,
         "incremental_agg_view": q_incremental_agg_view,
+        "stream_interval_join": q_stream_interval_join,
         "apply_mapping": q_apply_mapping,
         "filter_rlike": q_filter_rlike,
         "union_conformed": q_union_conformed,
@@ -2229,6 +2253,17 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _CDC_ORACLE,
         "cdc_final_state_salted": _CDC_ORACLE,
         "cdc_lake_merge": _CDC_ORACLE,
+        "stream_interval_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_event,
+                   b.event_id AS buy_event,
+                   epoch_ms(v.ts) AS view_ms,
+                   epoch_ms(b.ts) AS buy_ms
+            FROM events v JOIN events b
+              ON v.user_id = b.user_id
+             AND b.ts BETWEEN v.ts AND v.ts + INTERVAL 30 MINUTE
+            WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+        """,
         "incremental_agg_view": f"""
             WITH final_state AS ({_CDC_ORACLE})
             SELECT event_type,

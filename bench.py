@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "datasource_read",
     "group_percentiles",
     "rollup_grouping_sets",
+    "stream_interval_join",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)

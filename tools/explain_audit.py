@@ -84,6 +84,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # mixing is one map-side select + explode: no shuffle at all
     ("weighted_mix", ["Generate"],
      ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # interval join (batch-parity form): equi-key hash join with the
+    # time interval as a join-condition filter — never nested-loop
+    ("stream_interval_join", ["HashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # exact grouped quantiles: partial_percentile BEFORE the exchange
     # (per-group buffers shuffle, not rows); never a global sort/window
     ("group_percentiles", ["partial_percentile", "ObjectHashAggregate"],
