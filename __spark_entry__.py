@@ -116,6 +116,34 @@ def q_cdc_lake_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lake_point_lookup(spark, sf_dir) -> DataFrame:
+    """Bloom-indexed point lookup: replay the change stream into a
+    merge-on-read table with per-file key blooms (point_index_bits),
+    then ``lookup_keys`` three users — bucket pruning and bloom file
+    skipping happen driver-side before one key-filtered scan
+    (lake/bloom.py). Oracle = the LWW final state filtered to the same
+    keys."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lookup_entry_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8,
+        write_mode="mor", point_index_bits=4096,
+    )
+    for b in range(3):
+        table.merge(ev.filter(F.col("seq") % 3 == b), batch_id=b)
+    return table.lookup_keys([(1,), (2,), (3,)])
+
+
 def q_stream_interval_join(spark, sf_dir) -> DataFrame:
     """Interval join, batch-parity form (streaming/joins.py): purchases
     attributed to the view events they followed within 30 minutes, per
@@ -2017,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_merge": q_cdc_lake_merge,
         "incremental_agg_view": q_incremental_agg_view,
         "stream_interval_join": q_stream_interval_join,
+        "lake_point_lookup": q_lake_point_lookup,
         "apply_mapping": q_apply_mapping,
         "filter_rlike": q_filter_rlike,
         "union_conformed": q_union_conformed,
@@ -2253,6 +2282,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _CDC_ORACLE,
         "cdc_final_state_salted": _CDC_ORACLE,
         "cdc_lake_merge": _CDC_ORACLE,
+        "lake_point_lookup": f"""
+            WITH final_state AS ({_CDC_ORACLE})
+            SELECT user_id, event_type, value
+            FROM final_state WHERE user_id IN (1, 2, 3)
+        """,
         "stream_interval_join": """
             SELECT v.user_id,
                    v.event_id AS view_event,

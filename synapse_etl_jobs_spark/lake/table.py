@@ -201,6 +201,7 @@ class LakeTable:
         num_buckets: int = 16,
         write_mode: str = "cow",
         write_salt: int = 4,
+        point_index_bits: int | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the logical user schema
         (keys + payload; no internal columns). ``bucket_cols`` defaults to
@@ -216,7 +217,13 @@ class LakeTable:
         >20% of a batch, so an unsalted ``repartition(bucket)`` write
         serializes that bucket into one straggler task (benched: salt=4
         cut a skewed 4M-event batch write 18-22%). Costs ≤``write_salt``
-        files per bucket per commit; ``compact()`` folds them."""
+        files per bucket per commit; ``compact()`` folds them.
+
+        ``point_index_bits`` (opt-in) attaches a per-file key bloom
+        filter of that many bits to every data file written by merge and
+        compact — ``lookup_keys`` then skips files that cannot contain a
+        probed key (see lake/bloom.py). Costs one column-pruned re-read
+        of each batch's key columns at write time."""
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
@@ -234,7 +241,12 @@ class LakeTable:
             buckets={},
             applied_batches={},
             parent_version=None,
-            props={"write_mode": write_mode, "write_salt": int(write_salt)},
+            props={
+                "write_mode": write_mode,
+                "write_salt": int(write_salt),
+                **({"point_index_bits": int(point_index_bits)}
+                   if point_index_bits else {}),
+            },
         )
         cls._commit_manifest(path, m)
         return cls(spark, path, m)
@@ -492,6 +504,77 @@ class LakeTable:
             SEQ_COL, DELETED_COL
         )
 
+    def _file_blooms(self, files: list[str]) -> dict[str, dict[str, Any]]:
+        """Per-file key blooms for freshly written files, when the table
+        opted in (``point_index_bits``); empty dict otherwise."""
+        bits = int(self.manifest.props.get("point_index_bits", 0) or 0)
+        if not bits or not files:
+            return {}
+        from synapse_etl_jobs_spark.lake.bloom import compute_file_blooms
+
+        return compute_file_blooms(
+            self.spark, files, self.manifest.key_cols, bits
+        )
+
+    def lookup_keys(self, key_values: Sequence[tuple]) -> DataFrame:
+        """Exact point lookup of full key tuples, with THREE pruning
+        layers before any data is read — all driver-side, no Spark job
+        until the final scan:
+
+        1. bucket pruning via the pure-Python xxhash64 port (only the
+           buckets the probed keys hash to);
+        2. per-file bloom pruning (files whose bloom proves the key
+           absent are skipped — see lake/bloom.py; files without blooms
+           are always kept, so pre-index history stays correct);
+        3. a key-equality filter pushed into the parquet scan.
+
+        Unlike ``scan_keys`` (bucket-level scan of everything in the
+        candidate buckets), the result contains ONLY the probed keys —
+        required for correctness under file pruning: dropping a delta
+        file is safe for the probed keys (no false negatives) but would
+        silently un-supersede OTHER keys' rows, so those keys must not
+        appear in the output at all. Tuples align with ``key_cols``.
+        """
+        m = self.manifest
+        current = m.current_schema()
+        key_types = [current[c].dataType.simpleString() for c in m.key_cols]
+        probes = [tuple(kv) for kv in key_values]
+        if any(len(p) != len(m.key_cols) for p in probes):
+            raise ValueError(f"each probe must have {len(m.key_cols)} values "
+                             f"(key columns {m.key_cols})")
+
+        if set(m.bucket_cols) <= set(m.key_cols):
+            from synapse_etl_jobs_spark.sources.lake_datasource import bucket_of
+
+            bidx = [m.key_cols.index(c) for c in m.bucket_cols]
+            wanted = {
+                bucket_of([(kv[i], key_types[i]) for i in bidx], m.num_buckets)
+                for kv in probes
+            }
+            entries = [
+                e for b, lst in m.buckets.items() if int(b) in wanted for e in lst
+            ]
+        else:  # bucketing not derivable from the key — bloom-prune only
+            entries = [e for lst in m.buckets.values() for e in lst]
+
+        from synapse_etl_jobs_spark.lake.bloom import prune_entries
+
+        entries = prune_entries(entries, probes, key_types)
+        df = self._current_view(entries)
+        if df is None:
+            return self.spark.createDataFrame([], current)
+        cond = F.lit(False)
+        for kv in probes:
+            conj = F.lit(True)
+            for c, t, v in zip(m.key_cols, key_types, kv):
+                conj = conj & (F.col(c).eqNullSafe(F.lit(v).cast(t)))
+            cond = cond | conj
+        return (
+            df.filter(cond)
+            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(SEQ_COL, DELETED_COL)
+        )
+
     # ------------------------------------------------------------------ merge
 
     def is_batch_applied(self, stream_id: str, batch_id: int | str) -> bool:
@@ -679,12 +762,17 @@ class LakeTable:
 
         new_buckets = dict(m.buckets)
         kind = "base" if mode == "cow" else "delta"
+        blooms = self._file_blooms(
+            [fp for b in affected for fp in written.get(b, [])]
+        )
         files_written, bytes_written, rows_written = 0, 0, 0
         lineage_rows = []
         for b in affected:
             entries = [] if mode == "cow" else list(m.buckets.get(str(b), []))
             for fp in written.get(b, []):
                 entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
+                if fp in blooms:
+                    entry["bloom"] = blooms[fp]
                 entries.append(entry)
                 fstats = written_stats[fp]
                 files_written += 1
@@ -798,10 +886,14 @@ class LakeTable:
         )
         self._salted_bucket_write(df, commit_dir, min_tasks=len(victims))
         written = _list_parquet_files(commit_dir)
+        blooms = self._file_blooms(
+            [fp for b in victims for fp in written.get(b, [])]
+        )
         new_buckets = dict(m.buckets)
         new_buckets.update({
             str(b): [
-                {"path": fp, "schema_id": m.current_schema_id, "kind": "base"}
+                {"path": fp, "schema_id": m.current_schema_id, "kind": "base",
+                 **({"bloom": blooms[fp]} if fp in blooms else {})}
                 for fp in written.get(b, [])
             ]
             for b in victims
