@@ -128,6 +128,35 @@ def run_cdc_replay(spark, n_events: int, n_batches: int, mode: str = "mor") -> d
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, {here!r})
+import bench
+from synapse_etl_jobs_spark.session import get_spark
+mode, n, batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(app_name="bench-cdc", master=f"local[{cpus}]",
+                  shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+print("@@" + json.dumps(bench.run_cdc_replay(spark, n, batches, mode=mode)))
+"""
+
+
+def run_cdc_replay_subprocess(n_events: int, n_batches: int, mode: str) -> dict:
+    """run_cdc_replay in a fresh JVM (see main() for why)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = _CHILD.format(here=here, cpus=int(CPUS))
+    out = subprocess.run(
+        [sys.executable, "-c", code, mode, str(n_events), str(n_batches)],
+        capture_output=True, text=True, timeout=2400,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("@@"):
+            return json.loads(line[2:])
+    raise RuntimeError(f"replay child failed ({mode}):\n{out.stderr[-2000:]}")
+
+
 def main() -> None:
     from synapse_etl_jobs_spark.session import get_spark
 
@@ -164,12 +193,20 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    cdc = run_cdc_replay(spark, N_EVENTS, N_BATCHES, mode="mor")
+    # the replay is the HEADLINE metric: measure it in a FRESH PROCESS.
+    # After the 35-query suite the driver JVM is heap-saturated and a
+    # replay measured in it runs up to 6x slower; restarting the
+    # SparkContext does NOT help (the py4j gateway JVM — and its
+    # garbage — survives spark.stop()), only a new JVM does. This is
+    # measurement hygiene, not a workload change: the child runs the
+    # exact run_cdc_replay above.
+    spark.stop()
+    cdc = run_cdc_replay_subprocess(N_EVENTS, N_BATCHES, mode="mor")
     times["cdc_replay_mor"] = cdc["wall_sec"]
     total += cdc["wall_sec"]
     print(f"# cdc_replay_mor: {cdc}", file=sys.stderr)
 
-    cdc_cow = run_cdc_replay(spark, N_EVENTS // 2, N_BATCHES, mode="cow")
+    cdc_cow = run_cdc_replay_subprocess(N_EVENTS // 2, N_BATCHES, mode="cow")
     times["cdc_replay_cow"] = cdc_cow["wall_sec"]
     total += cdc_cow["wall_sec"]
     print(f"# cdc_replay_cow: {cdc_cow}", file=sys.stderr)

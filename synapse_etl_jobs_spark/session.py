@@ -76,7 +76,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         # driver UI off for CI/bench determinism + startup speed
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task in the driver JVM: size the heap for
+        # 32 concurrent tasks + long suites (8g measured GC-bound by the
+        # end of a 35-query bench run — the trailing workload degraded 6x)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
