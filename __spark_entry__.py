@@ -961,6 +961,21 @@ def q_rollup_grouping_sets(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Frequent-item (heavy-hitter) sketch: ``approx_top_k`` is Spark's
+    mergeable bounded-state frequency aggregate — each partition tracks
+    at most maxItemsTracked counters and partial sketches merge, so at
+    100 TB the wire carries fixed-size sketches instead of a full
+    groupBy count of a high-cardinality column. Oracle gating uses the
+    degenerate-to-exact trick (same as ann_ivf_full): k and the tracked
+    capacity exceed the sf0.01 key cardinality, so sketch counts equal
+    exact group counts and the row-set is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.selectExpr("inline(approx_top_k(user_id, 200, 4096))").select(
+        F.col("item").alias("user_id"), F.col("count").alias("n_events")
+    )
+
+
 def q_iso8601_roundtrip(spark, sf_dir) -> DataFrame:
     """F11: epoch-ms ↔ ISO-8601 conversions (second granularity, UTC)."""
     ev = _t(spark, sf_dir, "events")
@@ -2096,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "group_percentiles": q_group_percentiles,
         "rollup_grouping_sets": q_rollup_grouping_sets,
+        "heavy_hitters": q_heavy_hitters,
         "iso8601_roundtrip": q_iso8601_roundtrip,
         "json_gzip_roundtrip": q_json_gzip_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -2776,6 +2792,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "heavy_hitters": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "rollup_grouping_sets": """
             SELECT o_orderpriority, o_orderstatus,

@@ -299,7 +299,8 @@ class LakeTable:
         cols = [F.col(c) for c in self.manifest.bucket_cols]
         return F.pmod(F.xxhash64(*cols), F.lit(self.manifest.num_buckets)).cast("int")
 
-    def _salted_bucket_write(self, df: DataFrame, out_dir: str, min_tasks: int = 1) -> None:
+    def _salted_bucket_write(self, df: DataFrame, out_dir: str, min_tasks: int = 1,
+                             sort_cols: "Sequence[str] | None" = None) -> None:
         """Write ``df`` hive-partitioned by ``_bucket``, spreading each
         bucket over ``write_salt`` writer tasks (salt = key hash, so the
         file a row lands in is deterministic given the partitioning) —
@@ -323,6 +324,15 @@ class LakeTable:
             df = df.repartition(parts, F.col(BUCKET_COL), salt_col)
         else:
             df = df.repartition(parts, F.col(BUCKET_COL))
+        if sort_cols:
+            # range-cluster each output file: parquet row-group min/max
+            # stats on the sort columns become selective, so range
+            # predicates skip row groups at scan time (Z-order's 1-D
+            # case). The partition column must lead the sort: the
+            # partitionBy writer re-sorts any task whose rows aren't
+            # already ordered by it (not stably — which would undo the
+            # clustering)
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         df.write.partitionBy(BUCKET_COL).parquet(out_dir)
 
     def _stored_schema(self, schema_id: int) -> StructType:
@@ -840,12 +850,20 @@ class LakeTable:
         drop_tombstones: bool = True,
         buckets: Sequence[int] | None = None,
         min_files: int = 1,
+        sort_cols: Sequence[str] | None = None,
     ) -> dict:
         """Maintenance rewrite (Iceberg ``rewrite_data_files`` analog):
         coalesce bucket files and optionally GC tombstones. The rewrite
         goes through the salted bucket write, so a hot bucket is
         rewritten by ``write_salt`` tasks (≤ ``write_salt`` output files
         per bucket) instead of one straggler.
+
+        ``sort_cols`` range-clusters each rewritten file (Iceberg
+        ``rewrite_data_files(strategy => 'sort')`` analog): parquet
+        row-group min/max stats on those columns become selective, so
+        subsequent range/point predicates skip row groups inside the
+        scan — the read-side payoff compaction can buy once, amortized
+        over every later query.
 
         SELECTIVE by default shape: only buckets with ≥ ``min_files``
         file entries are rewritten (or exactly the explicit ``buckets``
@@ -884,7 +902,8 @@ class LakeTable:
         commit_dir = os.path.join(
             self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
         )
-        self._salted_bucket_write(df, commit_dir, min_tasks=len(victims))
+        self._salted_bucket_write(df, commit_dir, min_tasks=len(victims),
+                                  sort_cols=sort_cols)
         written = _list_parquet_files(commit_dir)
         blooms = self._file_blooms(
             [fp for b in victims for fp in written.get(b, [])]

@@ -113,6 +113,48 @@ def test_group_migration_and_disappearance(spark, tmp_path):
     assert _view_state(view) == {("rs",): (1, 11, 2)} == _recompute(source)
 
 
+def test_view_tails_streaming_ingest(spark, tmp_path):
+    """Composition with the streaming path: Structured-Streaming
+    ingestion (foreachBatch exactly-once merge) feeds the source;
+    advancing the view after each availableNow pass keeps it equal to a
+    full recompute — the continuously-maintained-view loop."""
+    import json
+    import os
+
+    from synapse_etl_jobs_spark.streaming import stream_into_table
+
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+
+    def put(name, rows):
+        with open(os.path.join(src_dir, name), "w") as f:
+            for op, seq, repo, path, lang, nb in rows:
+                f.write(json.dumps({"op": op, "seq": seq, "repo": repo,
+                                    "path": path, "lang": lang, "n_bytes": nb}) + "\n")
+
+    def ingest():
+        stream = spark.readStream.schema(
+            "op string, seq long, repo string, path string, lang string, n_bytes long"
+        ).json(src_dir)
+        stream_into_table(source, stream, ckpt)
+
+    put("b1.json", [("UPSERT", 1, "r", "a", "py", 10), ("UPSERT", 2, "r", "b", "rs", 20)])
+    ingest()
+    view = IncrementalAggView.create(spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+
+    put("b2.json", [("UPSERT", 3, "r", "a", "go", 30), ("DELETE", 4, "r", "b", None, None),
+                    ("UPSERT", 5, "s", "c", "py", 7)])
+    ingest()
+    view.advance()
+    assert _view_state(view) == _recompute(source) == {
+        ("go",): (1, 30, 2), ("py",): (1, 7, 2),
+    }
+
+
 def test_cow_window_rejected_and_refresh_recovers(spark, tmp_path):
     source = LakeTable.create(
         spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],

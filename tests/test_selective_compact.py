@@ -56,3 +56,30 @@ def test_explicit_bucket_list_and_noop(spark, tmp_path):
     s = t.compact(buckets=[target])
     assert s["compacted_buckets"] == [target]
     assert t.read().count() == 20
+
+
+def test_sorted_compaction_range_clusters_files(spark, tmp_path):
+    """compact(sort_cols=...) must leave every rewritten file internally
+    sorted on the cluster column (row-group min/max stats become
+    selective) without changing table contents."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        num_buckets=2, write_mode="mor", write_salt=1,
+    )
+    # insertion order deliberately scrambles v
+    rows = [("UPSERT", i, i, f"v{(i * 37) % 100:03d}") for i in range(200)]
+    t.merge(
+        spark.createDataFrame(rows, "op string, seq long, k long, v string"),
+        batch_id=0,
+    )
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    s = t.compact(sort_cols=["v"])
+    assert s["applied"]
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    files = [e["path"] for lst in t.manifest.buckets.values() for e in lst]
+    assert files
+    for fp in files:
+        vals = pq.read_table(fp, columns=["v"]).column("v").to_pylist()
+        assert vals == sorted(vals), f"file not clustered: {fp}"
