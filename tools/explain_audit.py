@@ -88,6 +88,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # time interval as a join-condition filter — never nested-loop
     ("stream_interval_join", ["HashJoin"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # heavy hitters: the frequency SKETCH aggregates map-side
+    # (partial_approx_top_k before the exchange) — fixed-size state on
+    # the wire, never a full per-key count shuffle
+    ("heavy_hitters", ["partial_approx_top_k", "ObjectHashAggregate"],
+     ["Window", "BatchEvalPython", "ArrowEvalPython"]),
     # exact grouped quantiles: partial_percentile BEFORE the exchange
     # (per-group buffers shuffle, not rows); never a global sort/window
     ("group_percentiles", ["partial_percentile", "ObjectHashAggregate"],
