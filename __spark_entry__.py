@@ -961,6 +961,24 @@ def q_rollup_grouping_sets(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pivot_events(spark, sf_dir) -> DataFrame:
+    """Pivot (long→wide reshape): per-user event counts with one column
+    per event type. The pivot VALUES are given explicitly — Spark then
+    compiles this to a single groupBy with conditional aggregates (no
+    extra pass to discover distinct values, the scale trap of
+    `pivot(col)` without a value list) — one shuffle keyed by user, one
+    conditional-sum per output column, all map-side partial."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(
+        F.count(F.lit(1))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
 def q_heavy_hitters(spark, sf_dir) -> DataFrame:
     """Frequent-item (heavy-hitter) sketch: ``approx_top_k`` is Spark's
     mergeable bounded-state frequency aggregate — each partition tracks
@@ -2112,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": q_group_percentiles,
         "rollup_grouping_sets": q_rollup_grouping_sets,
         "heavy_hitters": q_heavy_hitters,
+        "pivot_events": q_pivot_events,
         "iso8601_roundtrip": q_iso8601_roundtrip,
         "json_gzip_roundtrip": q_json_gzip_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -2792,6 +2811,15 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'error')    AS n_error
+            FROM events GROUP BY user_id
         """,
         "heavy_hitters": """
             SELECT user_id, count(*) AS n_events

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "group_percentiles",
     "rollup_grouping_sets",
     "stream_interval_join",
+    "heavy_hitters",
+    "pivot_events",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)
