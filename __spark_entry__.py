@@ -1327,6 +1327,37 @@ def q_lake_point_scan(spark, sf_dir) -> DataFrame:
     ).select("user_id", "event_type", "value")
 
 
+def q_lake_zorder_scan(spark, sf_dir) -> DataFrame:
+    """Z-order clustered range scan (Delta ``OPTIMIZE ZORDER BY`` +
+    stats-pruned read, lake/zorder.py): merge the CDC stream, rewrite
+    with ``compact(zorder_cols=["user_id", "value"])`` so each file
+    covers a small (user_id × value) hyper-rectangle and the manifest
+    records per-file [min, max] for BOTH columns, then ``scan_range`` a
+    band of the NON-leading z-column — the read that file-level stats
+    pruning can only serve after a multi-column cluster (a linear sort
+    would prune on the leading column alone). Result is exact: pruning
+    skips files that cannot intersect, the predicate filters the rest."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_z_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=4)
+    ReplayDriver(table, batch_events=10**9).replay(ev)
+    table.compact(zorder_cols=["user_id", "value"], zorder_bits=4)
+    return table.scan_range({"value": (25.0, 75.0)}).select(
+        "user_id", "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog scan with pushdown (S3), SQL INSERT (S11), full reference job port
 # ---------------------------------------------------------------------------
@@ -2139,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
+        "lake_zorder_scan": q_lake_zorder_scan,
         "lake_time_travel": q_lake_time_travel,
         "lake_changes": q_lake_changes,
         "datasource_read": q_datasource_read,
@@ -2929,6 +2961,19 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
             SELECT user_id, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'DELETE'
               AND user_id BETWEEN 1 AND 10
+        """,
+        "lake_zorder_scan": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+              AND value BETWEEN 25.0 AND 75.0
         """,
         "catalog_pushdown_scan": """
             SELECT event_id, event_type, round(value, 2) AS value,

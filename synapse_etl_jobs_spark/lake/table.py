@@ -137,6 +137,61 @@ def _footer_stats_many(
     return {fp: _footer_stats([fp], seq_col) for fp in files}
 
 
+def _json_stat(v: Any) -> Any:
+    """Fold a parquet-footer statistic to a JSON-stable primitive (numpy
+    scalars → python; bytes → utf-8; dates/timestamps → ISO strings,
+    which sort identically to their values)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v.isoformat() if hasattr(v, "isoformat") else str(v)
+
+
+def _file_column_stats(
+    files: list[str], cols: list[str], spark: "SparkSession | None" = None
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols`` straight from parquet footers —
+    the manifest-level column metrics Iceberg keeps per data file, the
+    read side of sort/Z-order clustering (``scan_range`` prunes whole
+    files against them). Same distribution policy as
+    ``_footer_stats_many``: driver loop for small file sets, one
+    parallelize job over the FILE LIST above the threshold."""
+    if not cols or not files:
+        return {}
+
+    def one(fp: str) -> dict[str, list]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fp).metadata
+        out: dict[str, list] = {}
+        for c in cols:
+            try:
+                idx = md.schema.names.index(c)
+            except ValueError:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False  # any stat-less row group → no file bound
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                out[c] = [_json_stat(lo), _json_stat(hi)]
+        return out
+
+    if spark is not None and len(files) > _FOOTER_STATS_DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        slices = min(len(files), max(sc.defaultParallelism, 1))
+        return dict(sc.parallelize(files, slices).map(lambda fp: (fp, one(fp))).collect())
+    return {fp: one(fp) for fp in files}
+
+
 def _sum_stats(stats: "Iterable[dict[str, Any]]") -> dict[str, Any]:
     """Aggregate per-file footer stats (so each footer is parsed once)."""
     out: dict[str, Any] = {"rows": 0, "bytes": 0, "seq_min": None, "seq_max": None}
@@ -300,7 +355,8 @@ class LakeTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self.manifest.num_buckets)).cast("int")
 
     def _salted_bucket_write(self, df: DataFrame, out_dir: str, min_tasks: int = 1,
-                             sort_cols: "Sequence[str] | None" = None) -> None:
+                             sort_cols: "Sequence[str] | None" = None,
+                             cluster: "tuple[Column, int] | None" = None) -> None:
         """Write ``df`` hive-partitioned by ``_bucket``, spreading each
         bucket over ``write_salt`` writer tasks (salt = key hash, so the
         file a row lands in is deterministic given the partitioning) —
@@ -308,6 +364,24 @@ class LakeTable:
         assignment or merge keys."""
         salt = max(int(self.manifest.props.get("write_salt", 1)), 1)
         parts = max(self.manifest.num_buckets, min_tasks) * salt
+        if cluster is not None:
+            # Z-order rewrite: instead of a key-hash salt (which spreads a
+            # bucket's rows randomly over its files), split each bucket's
+            # files by CONTIGUOUS Morton-code ranges (the code's top bits)
+            # and sort each file by the code — every file then covers a
+            # small hyper-rectangle of the clustered columns, so per-file
+            # min/max stats prune on EVERY z-column (see lake/zorder.py)
+            zcol, zbits = cluster
+            df = df.withColumn("_zcode", zcol)
+            range_col = F.least(
+                F.floor(F.col("_zcode") * salt / F.lit(1 << zbits)),
+                F.lit(salt - 1),
+            ).cast("int")
+            df = df.repartition(parts, F.col(BUCKET_COL), range_col)
+            # projection after the sort preserves intra-partition order
+            df = df.sortWithinPartitions(BUCKET_COL, "_zcode").drop("_zcode")
+            df.write.partitionBy(BUCKET_COL).parquet(out_dir)
+            return
         if salt > 1:
             # the salt MUST be decorrelated from the bucket hash: bucket =
             # pmod(xxhash64(bucket_cols), num_buckets), and for single-key
@@ -585,6 +659,70 @@ class LakeTable:
             .drop(SEQ_COL, DELETED_COL)
         )
 
+    def _range_pruned_entries(
+        self, bounds: "dict[str, tuple[Any, Any]]"
+    ) -> tuple[list[dict[str, Any]], dict[str, int]]:
+        """Manifest entries surviving file-level stats pruning for
+        ``bounds`` (col → (lo, hi), either end None = open).
+
+        Exactness rule: a bucket is prunable only while it is PURE BASE.
+        Once a delta file sits in a bucket, the LWW reduction needs every
+        version of every key, so that whole bucket is read (then the
+        predicate filters rows). Files without recorded stats for a
+        bounded column are always kept — pruning can never produce a
+        false negative."""
+        norm = {c: (_json_stat(lo), _json_stat(hi)) for c, (lo, hi) in bounds.items()}
+
+        def overlaps(entry: dict[str, Any]) -> bool:
+            stats = entry.get("stats") or {}
+            for c, (lo, hi) in norm.items():
+                if c not in stats:
+                    continue  # no bound recorded → cannot prune on c
+                fmin, fmax = stats[c]
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        kept: list[dict[str, Any]] = []
+        total = 0
+        for lst in self.manifest.buckets.values():
+            total += len(lst)
+            if any(e.get("kind", "base") == "delta" for e in lst):
+                kept.extend(lst)  # MoR bucket: exactness needs all versions
+            else:
+                kept.extend(e for e in lst if overlaps(e))
+        return kept, {"files_total": total, "files_kept": len(kept)}
+
+    def scan_range(
+        self, bounds: "dict[str, tuple[Any, Any]]"
+    ) -> DataFrame:
+        """Range scan served by manifest column stats: skip every data
+        file whose recorded [min, max] (written by ``compact(sort_cols=
+        ...)`` / ``compact(zorder_cols=...)``) cannot intersect
+        ``bounds``, then apply the exact predicate to the surviving
+        rows. After a Z-order rewrite this prunes on ANY clustered
+        column — the Iceberg plan-time file-skipping path, done here on
+        the driver against the manifest (no listing, no Spark job before
+        the final scan). Returns the current-state rows (tombstones and
+        internal columns hidden), exactly ``read().filter(...)``."""
+        entries, _ = self._range_pruned_entries(bounds)
+        df = self._current_view(entries)
+        if df is None:
+            return self.spark.createDataFrame([], self.manifest.current_schema())
+        cond = F.lit(True)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return (
+            df.filter(cond)
+            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(SEQ_COL, DELETED_COL)
+        )
+
     # ------------------------------------------------------------------ merge
 
     def is_batch_applied(self, stream_id: str, batch_id: int | str) -> bool:
@@ -851,6 +989,8 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         min_files: int = 1,
         sort_cols: Sequence[str] | None = None,
+        zorder_cols: Sequence[str] | None = None,
+        zorder_bits: int = 6,
     ) -> dict:
         """Maintenance rewrite (Iceberg ``rewrite_data_files`` analog):
         coalesce bucket files and optionally GC tombstones. The rewrite
@@ -864,6 +1004,18 @@ class LakeTable:
         subsequent range/point predicates skip row groups inside the
         scan — the read-side payoff compaction can buy once, amortized
         over every later query.
+
+        ``zorder_cols`` instead clusters each bucket's files along a
+        Morton curve over SEVERAL columns at once (Delta ``OPTIMIZE
+        ZORDER BY`` analog, see ``lake/zorder.py``): every rewritten
+        file covers a small hyper-rectangle of the z-column space, so
+        the per-file min/max column stats this rewrite records in the
+        manifest (Iceberg column-metrics analog) let ``scan_range``
+        skip files for predicates on ANY z-column — ~N^(1/k) of each
+        column's domain per file instead of the full domain that a
+        linear sort leaves on every non-leading column. Mutually
+        exclusive with ``sort_cols``. Stats are recorded for
+        ``sort_cols`` too (leading-column pruning).
 
         SELECTIVE by default shape: only buckets with ≥ ``min_files``
         file entries are rewritten (or exactly the explicit ``buckets``
@@ -892,10 +1044,17 @@ class LakeTable:
             ]
         if not victims:
             return {"applied": False, "reason": "nothing to compact"}
+        if sort_cols and zorder_cols:
+            raise ValueError("sort_cols and zorder_cols are mutually exclusive")
         entries = [e for b in victims for e in m.buckets[str(b)]]
         df = self._current_view(entries)  # folds MoR deltas (victims only — exact: keys never cross buckets)
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        cluster = None
+        if zorder_cols:
+            from synapse_etl_jobs_spark.lake.zorder import zorder_column
+
+            cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits))
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
 
         new_version = m.table_version + 1
@@ -903,16 +1062,18 @@ class LakeTable:
             self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
         )
         self._salted_bucket_write(df, commit_dir, min_tasks=len(victims),
-                                  sort_cols=sort_cols)
+                                  sort_cols=sort_cols, cluster=cluster)
         written = _list_parquet_files(commit_dir)
-        blooms = self._file_blooms(
-            [fp for b in victims for fp in written.get(b, [])]
-        )
+        new_files = [fp for b in victims for fp in written.get(b, [])]
+        blooms = self._file_blooms(new_files)
+        stat_cols = list(zorder_cols or sort_cols or [])
+        col_stats = _file_column_stats(new_files, stat_cols, spark=self.spark)
         new_buckets = dict(m.buckets)
         new_buckets.update({
             str(b): [
                 {"path": fp, "schema_id": m.current_schema_id, "kind": "base",
-                 **({"bloom": blooms[fp]} if fp in blooms else {})}
+                 **({"bloom": blooms[fp]} if fp in blooms else {}),
+                 **({"stats": col_stats[fp]} if col_stats.get(fp) else {})}
                 for fp in written.get(b, [])
             ]
             for b in victims
