@@ -1358,6 +1358,91 @@ def q_lake_zorder_scan(spark, sf_dir) -> DataFrame:
     )
 
 
+def _patch_events(spark, sf_dir) -> DataFrame:
+    """Partial-column change stream derived from the events table:
+    every third event patches only ``event_type``, every third only
+    ``value``, the rest are full upserts; event_id % 11 == 0 deletes."""
+    ev = _t(spark, sf_dir, "events")
+    mod11 = F.col("event_id") % 11 == 0
+    mod3 = F.col("event_id") % 3
+    return ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        F.when(mod11, F.lit("DELETE"))
+        .when(mod3 < 2, F.lit("PATCH"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("op"),
+        F.when(mod11, F.lit(None).cast("array<string>"))
+        .when(mod3 == 0, F.array(F.lit("event_type")))
+        .when(mod3 == 1, F.array(F.lit("value")))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("set_cols"),
+        F.col("event_type"),
+        F.round(F.col("value"), 2).alias("value"),
+    )
+
+
+def q_cdc_patch_merge(spark, sf_dir) -> DataFrame:
+    """Partial-column CDC merge (Paimon-style partial-update merge
+    engine, ``lake/table.py merge_patches`` + ``operators/patch.py``):
+    a change stream where UPDATE events carry only the columns they
+    touched (Debezium update-mask shape) is collapsed per key with
+    per-column last-writer-wins, unset columns inherited from the stored
+    row, DELETE resetting the row — applied in TWO in-order batches so
+    the cross-batch inherit path (batch 2 patches filling from batch 1's
+    merged rows) is what the oracle checks. The reference only ever
+    ships full rows (glue_job.py re-snapshots whole records); this is
+    the sparse-update capability a real change tailer needs."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _patch_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0] or 0
+    mid = hi // 2
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_patch_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=4,
+                             write_mode="mor")
+    table.merge_patches(ev.filter(F.col("seq") <= mid), stream_id="s", batch_id=0)
+    table.merge_patches(ev.filter(F.col("seq") > mid), stream_id="s", batch_id=1)
+    return table.read().select("user_id", "event_type", "value")
+
+
+def q_lake_rollback(spark, sf_dir) -> DataFrame:
+    """Rollback to an earlier snapshot as a new commit (Iceberg
+    ``rollback_to_snapshot``): merge two CDC batches, roll back to the
+    version batch 1 committed, and read — the result must equal the LWW
+    state of batch 1 alone. Manifest-only O(1) commit: history is not
+    rewritten, batch markers are restored so a resumed replay re-applies
+    the undone batch and reconverges."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0] or 0
+    mid = hi // 2
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_rb_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=4)
+    table.merge(ev.filter(F.col("seq") <= mid), stream_id="s", batch_id=0)
+    v1 = table.manifest.table_version
+    table.merge(ev.filter(F.col("seq") > mid), stream_id="s", batch_id=1)
+    table.rollback(v1)
+    return table.read().select("user_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Catalog scan with pushdown (S3), SQL INSERT (S11), full reference job port
 # ---------------------------------------------------------------------------
@@ -2171,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
+        "cdc_patch_merge": q_cdc_patch_merge,
+        "lake_rollback": q_lake_rollback,
         "lake_time_travel": q_lake_time_travel,
         "lake_changes": q_lake_changes,
         "datasource_read": q_datasource_read,
@@ -2974,6 +3061,43 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
             SELECT user_id, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'DELETE'
               AND value BETWEEN 25.0 AND 75.0
+        """,
+        "cdc_patch_merge": """
+            WITH ev AS (
+              SELECT user_id, event_id AS seq,
+                     CASE WHEN event_id % 11 = 0 THEN 'DELETE'
+                          WHEN event_id % 3 = 0 THEN 'PATCH_ET'
+                          WHEN event_id % 3 = 1 THEN 'PATCH_V'
+                          ELSE 'UPSERT' END AS op,
+                     event_type, round(value, 2) AS value
+              FROM events
+            ), d AS (
+              SELECT user_id,
+                     max(seq) FILTER (WHERE op = 'DELETE') AS del_seq
+              FROM ev GROUP BY user_id
+            ), live AS (
+              SELECT e.* FROM ev e JOIN d USING (user_id)
+              WHERE e.op <> 'DELETE' AND e.seq > coalesce(d.del_seq, -1)
+            )
+            SELECT user_id,
+                   arg_max(event_type, seq)
+                     FILTER (WHERE op IN ('UPSERT', 'PATCH_ET')) AS event_type,
+                   arg_max(value, seq)
+                     FILTER (WHERE op IN ('UPSERT', 'PATCH_V')) AS value
+            FROM live GROUP BY user_id
+        """,
+        "lake_rollback": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+              WHERE event_id <= (SELECT max(event_id) FROM events) // 2
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
         """,
         "catalog_pushdown_scan": """
             SELECT event_id, event_type, round(value, 2) AS value,

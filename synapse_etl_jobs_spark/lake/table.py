@@ -257,6 +257,7 @@ class LakeTable:
         write_mode: str = "cow",
         write_salt: int = 4,
         point_index_bits: int | None = None,
+        stats_cols: Sequence[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the logical user schema
         (keys + payload; no internal columns). ``bucket_cols`` defaults to
@@ -278,7 +279,15 @@ class LakeTable:
         filter of that many bits to every data file written by merge and
         compact — ``lookup_keys`` then skips files that cannot contain a
         probed key (see lake/bloom.py). Costs one column-pruned re-read
-        of each batch's key columns at write time."""
+        of each batch's key columns at write time.
+
+        ``stats_cols`` (opt-in) records per-file [min, max] manifest
+        stats for those columns on EVERY merge commit (Iceberg
+        column-metrics analog), so ``scan_range`` prunes freshly merged
+        base files without waiting for a ``compact(sort_cols=...)`` /
+        ``compact(zorder_cols=...)`` rewrite. Free-ish: the footers are
+        already parsed for lineage; this reads a few more column chunks'
+        metadata, never data pages."""
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
@@ -301,6 +310,7 @@ class LakeTable:
                 "write_salt": int(write_salt),
                 **({"point_index_bits": int(point_index_bits)}
                    if point_index_bits else {}),
+                **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             },
         )
         cls._commit_manifest(path, m)
@@ -665,17 +675,26 @@ class LakeTable:
         """Manifest entries surviving file-level stats pruning for
         ``bounds`` (col → (lo, hi), either end None = open).
 
-        Exactness rule: a bucket is prunable only while it is PURE BASE.
-        Once a delta file sits in a bucket, the LWW reduction needs every
-        version of every key, so that whole bucket is read (then the
-        predicate filters rows). Files without recorded stats for a
-        bounded column are always kept — pruning can never produce a
-        false negative."""
-        norm = {c: (_json_stat(lo), _json_stat(hi)) for c, (lo, hi) in bounds.items()}
+        Exactness rules:
 
-        def overlaps(entry: dict[str, Any]) -> bool:
+        - PURE-BASE buckets prune on any bounded column (each key has
+          exactly one stored version, so dropping a non-intersecting
+          file can never change a surviving row);
+        - buckets holding DELTA files (merge-on-read) prune on KEY
+          columns only. Key values are immutable across a key's
+          versions, so a file whose key range misses the bounds holds no
+          version of any in-range key — sound. A NON-key bound must not
+          prune there: dropping the out-of-range LWW winner of a key
+          would resurrect an older in-range version.
+
+        Files without recorded stats for a bounded column are always
+        kept — pruning can never produce a false negative."""
+        norm = {c: (_json_stat(lo), _json_stat(hi)) for c, (lo, hi) in bounds.items()}
+        key_norm = {c: v for c, v in norm.items() if c in self.manifest.key_cols}
+
+        def overlaps(entry: dict[str, Any], use: dict) -> bool:
             stats = entry.get("stats") or {}
-            for c, (lo, hi) in norm.items():
+            for c, (lo, hi) in use.items():
                 if c not in stats:
                     continue  # no bound recorded → cannot prune on c
                 fmin, fmax = stats[c]
@@ -689,10 +708,9 @@ class LakeTable:
         total = 0
         for lst in self.manifest.buckets.values():
             total += len(lst)
-            if any(e.get("kind", "base") == "delta" for e in lst):
-                kept.extend(lst)  # MoR bucket: exactness needs all versions
-            else:
-                kept.extend(e for e in lst if overlaps(e))
+            mor = any(e.get("kind", "base") == "delta" for e in lst)
+            use = key_norm if mor else norm
+            kept.extend(e for e in lst if overlaps(e, use))
         return kept, {"files_total": total, "files_kept": len(kept)}
 
     def scan_range(
@@ -913,6 +931,11 @@ class LakeTable:
         blooms = self._file_blooms(
             [fp for b in affected for fp in written.get(b, [])]
         )
+        merge_stat_cols = list(m.props.get("stats_cols") or [])
+        col_stats = _file_column_stats(
+            [fp for b in affected for fp in written.get(b, [])],
+            merge_stat_cols, spark=self.spark,
+        )
         files_written, bytes_written, rows_written = 0, 0, 0
         lineage_rows = []
         for b in affected:
@@ -921,6 +944,8 @@ class LakeTable:
                 entry = {"path": fp, "schema_id": m.current_schema_id, "kind": kind}
                 if fp in blooms:
                     entry["bloom"] = blooms[fp]
+                if col_stats.get(fp):
+                    entry["stats"] = col_stats[fp]
                 entries.append(entry)
                 fstats = written_stats[fp]
                 files_written += 1
@@ -981,6 +1006,135 @@ class LakeTable:
             "source_events": src_stats["rows"],
             "mode": mode,
         }
+
+    def merge_patches(
+        self,
+        updates: DataFrame,
+        *,
+        op_col: str = "op",
+        seq_col: str = "seq",
+        set_col: str = "set_cols",
+        stream_id: str = "default",
+        batch_id: int | str | None = None,
+        **merge_kwargs: Any,
+    ) -> dict[str, Any]:
+        """MERGE a batch of PARTIAL-column change events (Paimon-style
+        partial-update merge engine; see ``operators/patch.py`` for the
+        event contract and collapse semantics).
+
+        Execution — built so no step touches more than O(batch) + the
+        stored rows of the batch's own buckets:
+
+        1. collapse the batch to one row per key with per-column
+           last-writer-wins (one ``groupBy`` with map-side partial agg);
+        2. read the CURRENT stored rows of only the buckets the batch
+           touches (bucket ids come from the collapsed key set — at most
+           ``num_buckets`` distinct values, collected from the persisted
+           collapsed frame);
+        3. join collapsed ← stored on the keys (stored side streams, the
+           batch-sized collapsed side is the build side under AQE) and
+           fill each UNSET column from the stored row — unless the batch
+           contains a DELETE for the key (``_wipe_base``), which resets
+           it to an empty row first;
+        4. feed the now-FULL rows through the normal ``merge`` path
+           (same tombstones, batch markers, lineage, CoW/MoR modes).
+
+        Ordering contract: batches must be applied in seq order (what
+        ``ReplayDriver`` guarantees — its windows partition the seq
+        space monotonically). A key whose collapsed seq is ≤ the stored
+        row's ``_seq`` is dropped as stale (whole-batch redelivery is
+        already a no-op via the batch marker; this guards partial
+        redelivery without per-column stored seqs, matching the row
+        granularity of the full-row LWW path).
+        """
+        from synapse_etl_jobs_spark.operators.patch import (
+            collapse_patches, set_flag_col,
+        )
+
+        m = self.manifest
+        if batch_id is not None and self.is_batch_applied(stream_id, batch_id):
+            return {"applied": False, "reason": "batch_already_applied",
+                    "table_version": m.table_version}
+        missing = [c for c in m.key_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(f"updates missing key columns: {missing}")
+
+        current_schema = m.current_schema()
+        user_cols = [f.name for f in current_schema.fields]
+        payload_cols = [c for c in user_cols if c not in m.key_cols]
+
+        batch = updates.select(
+            *[
+                (F.col(c) if c in updates.columns else F.lit(None)).cast(
+                    current_schema[c].dataType
+                ).alias(c)
+                for c in user_cols
+            ],
+            F.upper(F.col(op_col)).alias(op_col),
+            F.col(seq_col).cast("long").alias(seq_col),
+            (F.col(set_col) if set_col in updates.columns
+             else F.lit(None).cast("array<string>")).alias(set_col),
+        )
+        collapsed = collapse_patches(
+            batch, m.key_cols, payload_cols,
+            seq_col=seq_col, op_col=op_col, set_col=set_col,
+        ).persist()
+        try:
+            # bucket-prune the stored side: ≤ num_buckets driver rows
+            touched = [
+                r[0]
+                for r in collapsed.select(
+                    self._bucket_expr().alias("_b")
+                ).distinct().collect()
+            ]
+            stored_entries = [
+                e for b in sorted(touched) for e in m.buckets.get(str(b), [])
+            ]
+            stored = self._current_view(stored_entries)
+
+            if stored is None:
+                joined = collapsed.select(
+                    *m.key_cols, "op", F.col("seq"),
+                    *payload_cols,
+                    *[F.col(set_flag_col(c)) for c in payload_cols],
+                    "_wipe_base",
+                    F.lit(None).cast("long").alias("_stored_seq"),
+                    *[F.lit(None).cast(current_schema[c].dataType)
+                      .alias(f"_stored_{c}") for c in payload_cols],
+                )
+            else:
+                # tombstoned stored rows must not donate values
+                stored = stored.filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                ).select(
+                    *m.key_cols,
+                    F.col(SEQ_COL).alias("_stored_seq"),
+                    *[F.col(c).alias(f"_stored_{c}") for c in payload_cols],
+                )
+                joined = stored.join(collapsed, list(m.key_cols), "right")
+
+            # stale guard (see docstring) + per-column inherit
+            fresh = joined.filter(
+                F.col("_stored_seq").isNull()
+                | (F.col("seq") > F.col("_stored_seq"))
+            )
+            full_cols = [F.col(k) for k in m.key_cols]
+            for c in payload_cols:
+                full_cols.append(
+                    F.when(F.col(set_flag_col(c)), F.col(c))
+                    .when(F.col("_wipe_base"), F.lit(None))
+                    .otherwise(F.col(f"_stored_{c}"))
+                    .cast(current_schema[c].dataType)
+                    .alias(c)
+                )
+            full = fresh.select(*full_cols, F.col("op"), F.col("seq"))
+
+            return self.merge(
+                full, op_col="op", seq_col="seq",
+                stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
+            )
+        finally:
+            collapsed.unpersist()
 
     def compact(
         self,
@@ -1095,6 +1249,45 @@ class LakeTable:
         return {"applied": True, "table_version": new_version,
                 "compacted_buckets": victims,
                 "files": sum(len(v) for v in written.values())}
+
+    def rollback(self, version: int) -> dict:
+        """Restore the table to an earlier ``version`` as a NEW commit
+        (Iceberg ``rollback_to_snapshot`` semantics: the pointer moves
+        forward to a manifest whose content is the old snapshot — history
+        is never rewritten, so concurrent readers and time travel keep
+        working, and ``vacuum`` retention still decides file lifetime).
+
+        Batch markers are restored to the rolled-back version's set, so
+        a replay driver resumed after the rollback re-applies exactly
+        the batches the rollback undid — re-merging them reconverges to
+        the pre-rollback state (idempotent merges), which is the point:
+        rollback + replay is the recovery path for a bad batch.
+
+        No data is read or written — this is a manifest-only commit
+        (O(1) Spark-side; the old version's files are still on disk
+        unless ``vacuum`` expired them, which ``load`` would refuse).
+        """
+        m = self.manifest
+        if version == m.table_version:
+            return {"applied": False, "reason": "already_at_version",
+                    "table_version": version}
+        old = LakeTable.load(self.spark, self.path, version=version).manifest
+        new_manifest = Manifest(
+            table_version=m.table_version + 1,
+            key_cols=old.key_cols,
+            bucket_cols=old.bucket_cols,
+            num_buckets=old.num_buckets,
+            current_schema_id=old.current_schema_id,
+            schemas=old.schemas,
+            buckets=old.buckets,
+            applied_batches=old.applied_batches,
+            parent_version=m.table_version,
+            props=old.props,
+        )
+        self._commit_manifest(self.path, new_manifest)
+        self.manifest = new_manifest
+        return {"applied": True, "rolled_back_to": version,
+                "table_version": new_manifest.table_version}
 
     def vacuum(self, *, retain_versions: int = 1) -> dict:
         """Expire old table versions and delete unreferenced data files

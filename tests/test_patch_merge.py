@@ -1,0 +1,178 @@
+"""Partial-column CDC patches (operators/patch.py + merge_patches) and
+snapshot rollback.
+
+Reference parity note: the reference's jobs only ever ship full rows
+(/root/reference/src/scripts/glue_jobs/glue_job.py re-snapshots whole
+records), so the semantics here are pinned against hand-applied event
+sequences instead: apply events one by one in seq order — per-column
+last writer wins, DELETE resets the row — and the merged table must
+match.
+"""
+
+import pytest
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+from synapse_etl_jobs_spark.operators.patch import collapse_patches
+
+SCHEMA = StructType().add("k", "long").add("a", "string").add("b", "double")
+EV_SCHEMA = "k long, a string, b double, op string, seq long, set_cols array<string>"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _apply_oracle(event_rows):
+    """Drive the contract by hand: one row at a time, in seq order."""
+    state = {}
+    for k, a, b, op, seq, set_cols in sorted(event_rows, key=lambda r: r[4]):
+        if op == "DELETE":
+            state.pop(k, None)
+        elif op == "UPSERT":
+            state[k] = {"a": a, "b": b}
+        else:  # PATCH
+            row = state.setdefault(k, {"a": None, "b": None})
+            if "a" in (set_cols or []):
+                row["a"] = a
+            if "b" in (set_cols or []):
+                row["b"] = b
+    return {k: (v["a"], v["b"]) for k, v in state.items()}
+
+
+def _read_state(t):
+    return {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+
+
+B1 = [
+    (1, "a1", 1.0, "UPSERT", 1, None),
+    (2, "a2", 2.0, "UPSERT", 2, None),
+    (3, "a3", 3.0, "UPSERT", 3, None),
+    (2, "A2", None, "PATCH", 4, ["a"]),
+    (3, None, None, "DELETE", 5, None),
+    (3, None, 33.0, "PATCH", 6, ["b"]),   # patch re-creates after delete
+    (4, None, 44.0, "PATCH", 7, ["b"]),   # patch creates a brand-new row
+]
+B2 = [
+    (1, None, 11.0, "PATCH", 10, ["b"]),  # inherits a from stored batch-1 row
+    (2, None, None, "PATCH", 11, ["a"]),  # explicit null: a named in set_cols
+    (4, None, None, "DELETE", 12, None),
+]
+
+
+@pytest.fixture(params=["cow", "mor"])
+def table(spark, tmp_table_path, request):
+    return LakeTable.create(spark, tmp_table_path, SCHEMA, ["k"],
+                            num_buckets=4, write_mode=request.param)
+
+
+def test_collapse_patches_single_batch(spark):
+    out = collapse_patches(_ev(spark, B1), ["k"], ["a", "b"])
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["op"] == "UPSERT" and rows[1]["a"] == "a1"
+    assert rows[2]["a"] == "A2" and rows[2]["_set_a"] and rows[2]["_set_b"]
+    # delete-then-patch: only b set, base wiped
+    assert rows[3]["op"] == "UPSERT" and rows[3]["_wipe_base"]
+    assert rows[3]["b"] == 33.0 and not rows[3]["_set_a"]
+    assert rows[4]["_set_b"] and not rows[4]["_set_a"]
+    # null-seq events can never win
+    noisy = B1 + [(1, "ghost", None, "PATCH", None, ["a"])]
+    out2 = {r["k"]: r["a"] for r in
+            collapse_patches(_ev(spark, noisy), ["k"], ["a", "b"]).collect()}
+    assert out2[1] == "a1"
+
+
+def test_patch_merge_two_batches_matches_hand_applied(spark, table):
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    assert _read_state(table) == _apply_oracle(B1)
+    table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    assert _read_state(table) == _apply_oracle(B1 + B2)
+    # the explicit-null patch really nulled a while keeping stored b
+    assert _read_state(table)[2] == (None, 2.0)
+
+
+def test_patch_merge_stale_and_marker_idempotency(spark, table):
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    final = _read_state(table)
+    # whole-batch redelivery under a NEW id: every key is stale → no-op
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=99)
+    assert _read_state(table) == final
+    # same id: marker short-circuit
+    r = table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    assert r["applied"] is False
+
+
+def test_patch_only_stream_inserts_sparse_rows(spark, table):
+    patches = [
+        (9, "x", None, "PATCH", 1, ["a"]),
+        (9, None, 9.5, "PATCH", 2, ["b"]),
+    ]
+    table.merge_patches(_ev(spark, patches), stream_id="s", batch_id=0)
+    assert _read_state(table) == {9: ("x", 9.5)}
+
+
+def test_delete_tombstone_survives_patch_resurrection_guard(spark, table):
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    # next batch deletes k=1; a later batch patches it → fresh row
+    table.merge_patches(
+        _ev(spark, [(1, None, None, "DELETE", 20, None)]), stream_id="s", batch_id=1)
+    assert 1 not in _read_state(table)
+    table.merge_patches(
+        _ev(spark, [(1, None, 99.0, "PATCH", 30, ["b"])]), stream_id="s", batch_id=2)
+    assert _read_state(table)[1] == (None, 99.0)  # a NOT resurrected
+
+
+def test_rollback_restores_state_and_markers(spark, table):
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    v1 = table.manifest.table_version
+    table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    r = table.rollback(v1)
+    assert r["applied"] and table.manifest.table_version > v1
+    assert _read_state(table) == _apply_oracle(B1)
+    # markers restored → the undone batch re-applies and reconverges
+    assert not table.is_batch_applied("s", 1)
+    table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    assert _read_state(table) == _apply_oracle(B1 + B2)
+    # fresh handle sees the rolled-forward pointer chain
+    reloaded = LakeTable.load(spark, table.path)
+    assert _read_state(reloaded) == _apply_oracle(B1 + B2)
+
+
+def test_rollback_noop_at_current_version(spark, table):
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    r = table.rollback(table.manifest.table_version)
+    assert r["applied"] is False
+
+
+def test_write_time_stats_prune_mor_key_range(spark, tmp_table_path):
+    """Write-time key-column stats prune fresh MoR delta files: each
+    batch's deltas cover only that batch's key range, so a key-range
+    scan skips the other batches' files WITHOUT a compaction — sound
+    because key values are immutable across a key's versions."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, ["k"], num_buckets=4,
+                         write_mode="mor", stats_cols=["k"])
+    for b, lo in enumerate([0, 1000, 2000]):
+        rows = [(lo + i, f"a{lo + i}", float(i), "UPSERT", lo + i, None)
+                for i in range(200)]
+        t.merge(_ev(spark, rows), stream_id="s", batch_id=b)
+    _entries, prune = t._range_pruned_entries({"k": (1005, 1010)})
+    assert prune["files_kept"] < prune["files_total"]
+    got = {r["k"] for r in t.scan_range({"k": (1005, 1010)}).collect()}
+    assert got == set(range(1005, 1011))
+
+
+def test_mor_nonkey_bounds_never_prune_deltas(spark, tmp_table_path):
+    """A non-key bound must NOT prune delta files: the out-of-range LWW
+    winner of a key would otherwise resurrect an older in-range version."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, ["k"], num_buckets=2,
+                         write_mode="mor", stats_cols=["k", "b"])
+    t.merge(_ev(spark, [(1, "old", 5.0, "UPSERT", 1, None)]),
+            stream_id="s", batch_id=0)
+    t.merge(_ev(spark, [(1, "new", 500.0, "UPSERT", 2, None)]),
+            stream_id="s", batch_id=1)
+    # the winner (b=500) is outside the scanned band; the stale b=5 row
+    # must not reappear
+    assert t.scan_range({"b": (0.0, 10.0)}).count() == 0
+    _entries, prune = t._range_pruned_entries({"b": (0.0, 10.0)})
+    assert prune["files_kept"] == prune["files_total"]
