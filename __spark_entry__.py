@@ -1414,6 +1414,35 @@ def q_cdc_patch_merge(spark, sf_dir) -> DataFrame:
     return table.read().select("user_id", "event_type", "value")
 
 
+def q_lake_rebucket(spark, sf_dir) -> DataFrame:
+    """Bucket-spec evolution under sustained ingest (``rebucket`` +
+    ``auto_compact_min_deltas``, lake/table.py): replay the CDC stream
+    in four batches into a deliberately under-bucketed MoR table whose
+    auto-compaction policy folds any bucket reaching 2 delta files,
+    then rebucket 2 → 8 (one shuffle on the new bucket hash, manifest
+    swap; old versions keep the old spec for time travel) and read. The
+    final state must be byte-identical to the plain LWW reduction — the
+    maintenance machinery must never change query results."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_rbk_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=2,
+                             write_mode="mor", auto_compact_min_deltas=2)
+    ReplayDriver(table, num_batches=4).replay(ev)
+    table.rebucket(8)
+    return table.read().select("user_id", "event_type", "value")
+
+
 def q_lake_rollback(spark, sf_dir) -> DataFrame:
     """Rollback to an earlier snapshot as a new commit (Iceberg
     ``rollback_to_snapshot``): merge two CDC batches, roll back to the
@@ -2258,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_zorder_scan": q_lake_zorder_scan,
         "cdc_patch_merge": q_cdc_patch_merge,
         "lake_rollback": q_lake_rollback,
+        "lake_rebucket": q_lake_rebucket,
         "lake_time_travel": q_lake_time_travel,
         "lake_changes": q_lake_changes,
         "datasource_read": q_datasource_read,
@@ -3085,6 +3115,18 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
                    arg_max(value, seq)
                      FILTER (WHERE op IN ('UPSERT', 'PATCH_V')) AS value
             FROM live GROUP BY user_id
+        """,
+        "lake_rebucket": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+                     event_id AS seq, user_id, event_type, round(value, 2) AS value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
         """,
         "lake_rollback": """
             WITH ev AS (

@@ -258,6 +258,7 @@ class LakeTable:
         write_salt: int = 4,
         point_index_bits: int | None = None,
         stats_cols: Sequence[str] | None = None,
+        auto_compact_min_deltas: int | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the logical user schema
         (keys + payload; no internal columns). ``bucket_cols`` defaults to
@@ -287,7 +288,18 @@ class LakeTable:
         base files without waiting for a ``compact(sort_cols=...)`` /
         ``compact(zorder_cols=...)`` rewrite. Free-ish: the footers are
         already parsed for lineage; this reads a few more column chunks'
-        metadata, never data pages."""
+        metadata, never data pages.
+
+        ``auto_compact_min_deltas`` (opt-in, merge-on-read tables): after
+        a merge commit, any affected bucket holding at least that many
+        delta files is selectively compacted in a follow-on commit —
+        bounded read amplification under sustained ingest without a
+        separate maintenance scheduler. The classic LSM tradeoff made
+        explicit: each key's rows are rewritten about once every
+        ``threshold`` touching batches; reads never LWW-reduce more than
+        ``threshold`` versions per bucket. Tombstones are KEPT by the
+        auto path (order-insensitivity for stale redelivery) — GC them
+        with an explicit ``compact()``."""
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
@@ -311,6 +323,8 @@ class LakeTable:
                 **({"point_index_bits": int(point_index_bits)}
                    if point_index_bits else {}),
                 **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+                **({"auto_compact_min_deltas": int(auto_compact_min_deltas)}
+                   if auto_compact_min_deltas else {}),
             },
         )
         cls._commit_manifest(path, m)
@@ -996,7 +1010,7 @@ class LakeTable:
         self._commit_manifest(self.path, new_manifest)
         self.manifest = new_manifest
 
-        return {
+        result = {
             "applied": True,
             "table_version": new_version,
             "affected_buckets": affected,
@@ -1006,6 +1020,24 @@ class LakeTable:
             "source_events": src_stats["rows"],
             "mode": mode,
         }
+
+        # auto-compaction policy (see create()): fold buckets whose delta
+        # count crossed the threshold, as a follow-on commit. Tombstones
+        # are kept — stale redelivery stays order-insensitive.
+        auto_min = int(new_manifest.props.get("auto_compact_min_deltas") or 0)
+        if mode == "mor" and auto_min > 0:
+            victims = [
+                b for b in affected
+                if sum(
+                    1 for e in new_manifest.buckets.get(str(b), [])
+                    if e.get("kind", "base") == "delta"
+                ) >= auto_min
+            ]
+            if victims:
+                result["auto_compacted"] = self.compact(
+                    buckets=victims, drop_tombstones=False
+                )
+        return result
 
     def merge_patches(
         self,
@@ -1220,7 +1252,9 @@ class LakeTable:
         written = _list_parquet_files(commit_dir)
         new_files = [fp for b in victims for fp in written.get(b, [])]
         blooms = self._file_blooms(new_files)
-        stat_cols = list(zorder_cols or sort_cols or [])
+        stat_cols = list(
+            zorder_cols or sort_cols or m.props.get("stats_cols") or []
+        )
         col_stats = _file_column_stats(new_files, stat_cols, spark=self.spark)
         new_buckets = dict(m.buckets)
         new_buckets.update({
@@ -1249,6 +1283,86 @@ class LakeTable:
         return {"applied": True, "table_version": new_version,
                 "compacted_buckets": victims,
                 "files": sum(len(v) for v in written.values())}
+
+    def rebucket(
+        self,
+        num_buckets: int,
+        bucket_cols: Sequence[str] | None = None,
+    ) -> dict:
+        """Change the table's bucket spec (count and/or columns) with one
+        full rewrite — Iceberg partition-spec-evolution analog for the
+        dimension this format partitions on. The operational driver at
+        10^10 rows: a bucket count sized for year-one data makes each
+        bucket a straggler at year three; rebucketing restores per-bucket
+        parallelism for merges, compactions, and pruned reads.
+
+        One Spark job: current snapshot (MoR deltas folded, tombstones
+        KEPT so stale redelivery stays order-insensitive) is shuffled
+        once on the new bucket hash and written salted; the commit swaps
+        in a manifest with the new spec. Readers of older versions are
+        untouched (old manifests keep the old spec — every manifest
+        carries its own bucket spec, so time travel across the boundary
+        works). ``bucket_cols`` must stay a subset of the key columns:
+        merge exactness relies on all versions of a key living in one
+        bucket.
+        """
+        m = self.manifest
+        bucket_cols = list(bucket_cols or m.bucket_cols)
+        bad = [c for c in bucket_cols if c not in m.key_cols]
+        if bad:
+            raise ValueError(f"bucket columns must be key columns: {bad}")
+        num_buckets = int(num_buckets)
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+
+        new_version = m.table_version + 1
+        new_manifest = Manifest(
+            table_version=new_version,
+            key_cols=m.key_cols,
+            bucket_cols=bucket_cols,
+            num_buckets=num_buckets,
+            current_schema_id=m.current_schema_id,
+            schemas=m.schemas,
+            buckets={},
+            applied_batches=m.applied_batches,
+            parent_version=m.table_version,
+            props=m.props,
+        )
+        # a shadow handle carries the NEW spec so the bucket expression
+        # and salted write see it without mutating self until commit
+        shadow = LakeTable(self.spark, self.path, new_manifest)
+
+        entries = [e for lst in m.buckets.values() for e in lst]
+        df = self._current_view(entries)
+        if df is not None:
+            df = df.withColumn(BUCKET_COL, shadow._bucket_expr())
+            commit_dir = os.path.join(
+                self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
+            )
+            shadow._salted_bucket_write(df, commit_dir, min_tasks=num_buckets)
+            written = _list_parquet_files(commit_dir)
+            new_files = [fp for fps in written.values() for fp in fps]
+            blooms = shadow._file_blooms(new_files)
+            col_stats = _file_column_stats(
+                new_files, list(m.props.get("stats_cols") or []), spark=self.spark
+            )
+            new_manifest.buckets = {
+                str(b): [
+                    {"path": fp, "schema_id": m.current_schema_id, "kind": "base",
+                     **({"bloom": blooms[fp]} if fp in blooms else {}),
+                     **({"stats": col_stats[fp]} if col_stats.get(fp) else {})}
+                    for fp in fps
+                ]
+                for b, fps in written.items()
+            }
+        self._commit_manifest(self.path, new_manifest)
+        self.manifest = new_manifest
+        return {
+            "applied": True,
+            "table_version": new_version,
+            "num_buckets": num_buckets,
+            "bucket_cols": bucket_cols,
+        }
 
     def rollback(self, version: int) -> dict:
         """Restore the table to an earlier ``version`` as a NEW commit
