@@ -151,6 +151,8 @@ def stream_into_table(
     salt_buckets: int | None = None,
     dedup_strategy: str = "semijoin",
     trigger_once: bool = True,
+    patches: bool = False,
+    set_col: str = "set_cols",
 ):
     """Structured-Streaming ingestion: ``foreachBatch`` merge with the
     Spark-assigned ``batch_id`` as the marker key. The checkpoint directory
@@ -159,17 +161,34 @@ def stream_into_table(
 
     ``trigger_once`` runs one availableNow pass (the scheduled-batch shape
     the reference uses); set False for continuous micro-batches.
+
+    ``patches=True`` routes micro-batches through ``merge_patches`` —
+    partial-column change events (see operators/patch.py). Safe under
+    Structured Streaming's ordering guarantee: micro-batches replay in
+    the same order with the same ids, which is exactly the in-order
+    contract ``merge_patches`` requires.
     """
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge(
-            batch_df,
-            op_col=op_col,
-            seq_col=seq_col,
-            stream_id=stream_id,
-            batch_id=batch_id,
-            salt_buckets=salt_buckets,
-            dedup_strategy=dedup_strategy,
-        )
+        if patches:
+            table.merge_patches(
+                batch_df,
+                op_col=op_col,
+                seq_col=seq_col,
+                set_col=set_col,
+                stream_id=stream_id,
+                batch_id=batch_id,
+                dedup_strategy=dedup_strategy,
+            )
+        else:
+            table.merge(
+                batch_df,
+                op_col=op_col,
+                seq_col=seq_col,
+                stream_id=stream_id,
+                batch_id=batch_id,
+                salt_buckets=salt_buckets,
+                dedup_strategy=dedup_strategy,
+            )
 
     writer = (
         events_stream.writeStream.foreachBatch(apply_batch)

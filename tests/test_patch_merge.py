@@ -145,6 +145,47 @@ def test_rollback_noop_at_current_version(spark, table):
     assert r["applied"] is False
 
 
+def test_streaming_patch_ingest_exactly_once(spark, tmp_path):
+    """File-source stream of PARTIAL-column events → foreachBatch
+    merge_patches: final state matches the hand-applied contract, and
+    re-running the stream on the same checkpoint applies nothing new."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from synapse_etl_jobs_spark.streaming import stream_into_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, batch in enumerate([B1, B2]):
+        staging = str(tmp_path / f"stage{i}")
+        _ev(spark, batch).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        # one file per batch, named AND timestamped in seq order so the
+        # file source's micro-batches respect the in-order contract
+        _shutil.copy(part, str(src / f"{i}.parquet"))
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), SCHEMA, ["k"],
+                         num_buckets=4, write_mode="mor")
+    stream = (
+        spark.readStream.schema(_ev(spark, B1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream_into_table(t, stream, ckpt, stream_id="ps", patches=True)
+    assert _read_state(t) == _apply_oracle(B1 + B2)
+    v = t.manifest.table_version
+    # same checkpoint, no new files: nothing applied
+    stream2 = (
+        spark.readStream.schema(_ev(spark, B1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_into_table(t, stream2, ckpt, stream_id="ps", patches=True)
+    assert t.manifest.table_version == v
+    assert _read_state(t) == _apply_oracle(B1 + B2)
+
+
 def test_write_time_stats_prune_mor_key_range(spark, tmp_table_path):
     """Write-time key-column stats prune fresh MoR delta files: each
     batch's deltas cover only that batch's key range, so a key-range

@@ -69,13 +69,23 @@ def main() -> None:
     co_wall = time.time() - t0
     assert all(c["rows"] == solo["rows"] for c in co)
 
-    agg = round(k * n / co_wall, 1)
+    # two aggregates: the REPLAY aggregate (sum of per-proc replay rates
+    # — the executor-scaling number: solo's events_per_sec is also
+    # replay-only) and the end-to-end one including each process's JVM
+    # boot / source listing / final count (co_wall covers the slowest
+    # process's full lifetime — a fixed cost a long-lived executor
+    # amortizes away, reported for honesty, not the headline)
+    agg_replay = round(sum(n / c["wall_sec"] for c in co), 1)
+    agg_e2e = round(k * n / co_wall, 1)
     print(json.dumps({
         "events_per_proc": n, "cores_each": cores, "k": k,
         "solo": solo,
         "corun_walls": [c["wall_sec"] for c in co],
-        "corun_aggregate_events_per_sec": agg,
-        "corun_vs_k_times_solo": round(agg / (k * solo["events_per_sec"]), 3),
+        "corun_aggregate_events_per_sec": agg_replay,
+        "corun_vs_k_times_solo": round(agg_replay / (k * solo["events_per_sec"]), 3),
+        "corun_aggregate_incl_startup": agg_e2e,
+        "corun_incl_startup_vs_k_times_solo": round(
+            agg_e2e / (k * solo["events_per_sec"]), 3),
     }))
 
 
