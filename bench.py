@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "stream_interval_join",
     "heavy_hitters",
     "pivot_events",
+    "cdc_patch_merge",
+    "lake_rebucket",
+    "lake_zorder_scan",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)
