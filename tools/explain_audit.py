@@ -130,6 +130,33 @@ def _semijoin_plan_check(spark, sf_dir):
     return "dedup_lww_semijoin", txt, problems
 
 
+def _patch_collapse_check(spark, sf_dir):
+    """The partial-update collapse must be ONE hash-partitioned
+    aggregation with map-side partials (per-column max(struct) under
+    CASE filters before the exchange) — never a window over the event
+    stream and never Python. A hot key then costs a few bytes of buffer
+    per scan partition instead of concentrating its raw events."""
+    from pyspark.sql import functions as F
+
+    from synapse_etl_jobs_spark.operators.patch import collapse_patches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, "DELETE")
+        .when(F.col("event_id") % 3 < 2, "PATCH")
+        .otherwise("UPSERT").alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.array(F.lit("event_type")))
+        .otherwise(F.array(F.lit("value"))).alias("set_cols"),
+        F.col("event_type"), F.col("value"),
+    )
+    txt = plan_text(collapse_patches(ev, ["user_id"], ["event_type", "value"]))
+    required = ["partial_max(CASE WHEN", "Exchange"]
+    forbidden = ["Window", "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"]
+    problems = [f"MISSING required plan fragment: {s!r}" for s in required if s not in txt]
+    problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
+    return "patch_collapse", txt, problems
+
+
 def _tfidf_reuse_check(spark, sf_dir):
     """tf_idf_topk's tf and idf branches share the groupBy(id, term)
     subplan; AQE's final plan must materialize that exchange ONCE
@@ -175,6 +202,7 @@ def main() -> None:
         problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
         results.append((name, txt, problems))
     results.append(_semijoin_plan_check(spark, sf_dir))
+    results.append(_patch_collapse_check(spark, sf_dir))
     results.append(_tfidf_reuse_check(spark, sf_dir))
 
     for name, txt, problems in results:

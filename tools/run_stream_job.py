@@ -45,7 +45,14 @@ def main() -> None:
     p.add_argument("--continuous", action="store_true",
                    help="keep running micro-batches (default: one "
                         "availableNow pass)")
-    p.add_argument("--exclude", default="op,seq,ts_ms,source_partition,offset")
+    p.add_argument("--patches", action="store_true",
+                   help="events are PARTIAL-column updates (op "
+                        "UPSERT/PATCH/DELETE + a set_cols array naming "
+                        "the columns each PATCH sets); micro-batches "
+                        "route through merge_patches — see "
+                        "operators/patch.py for the contract")
+    p.add_argument("--exclude",
+                   default="op,seq,ts_ms,source_partition,offset,set_cols")
     args = p.parse_args()
 
     from pyspark.sql.types import StructType
@@ -63,11 +70,15 @@ def main() -> None:
     if os.path.exists(os.path.join(args.table, "_manifests", "CURRENT")):
         table = LakeTable.load(spark, args.table)  # resume
     else:
+        from pyspark.sql.types import StringType
+
         envelope = set(args.exclude.split(","))
-        dtypes = {f.name: f.dataType.simpleString() for f in batch_schema.fields}
+        # DataType objects, not simpleString(): StructType.add rejects
+        # some short names ("bigint"), so non-string keys would fail
+        dtypes = {f.name: f.dataType for f in batch_schema.fields}
         schema = StructType()
         for k in keys:
-            schema = schema.add(k, dtypes.get(k, "string"))
+            schema = schema.add(k, dtypes.get(k, StringType()))
         for f in batch_schema.fields:
             if f.name not in (*keys, *envelope):
                 schema = schema.add(f.name, f.dataType)
@@ -78,12 +89,19 @@ def main() -> None:
 
     stream = spark.readStream.schema(batch_schema).parquet(args.source)
     if args.stateful_filter:
+        if args.patches:
+            raise SystemExit(
+                "--stateful-filter keeps only each key's max-seq event "
+                "per batch, which would drop the other PATCH events a "
+                "key needs — incompatible with --patches"
+            )
         stream = stateful_lww_filter(stream, keys, "seq")
 
     query = stream_into_table(
         table, stream, args.checkpoint,
         stream_id=args.stream_id, dedup_strategy=args.dedup_strategy,
         trigger_once=not args.continuous,
+        patches=args.patches,
     )
     if args.continuous:
         query.awaitTermination()
