@@ -380,14 +380,39 @@ class LakeTable:
 
     def _salted_bucket_write(self, df: DataFrame, out_dir: str, min_tasks: int = 1,
                              sort_cols: "Sequence[str] | None" = None,
-                             cluster: "tuple[Column, int] | None" = None) -> None:
+                             cluster: "tuple[Column, int] | None" = None,
+                             parts_by_bucket: "dict[int, int] | None" = None) -> None:
         """Write ``df`` hive-partitioned by ``_bucket``, spreading each
         bucket over ``write_salt`` writer tasks (salt = key hash, so the
         file a row lands in is deterministic given the partitioning) —
         defuses hot-bucket write stragglers without touching bucket
-        assignment or merge keys."""
+        assignment or merge keys.
+
+        ``parts_by_bucket`` (binpack rewrites) overrides the uniform
+        salt with a PER-BUCKET file-count target: bucket b's rows are
+        key-hash-split into exactly parts_by_bucket[b] groups, so big
+        buckets emit many target-sized files and small buckets one. The
+        repartition slot count carries 2x slack — two (bucket, group)
+        tuples hashing to the same slot would merge into one oversized
+        file, and slack makes that rare instead of systematic."""
         salt = max(int(self.manifest.props.get("write_salt", 1)), 1)
         parts = max(self.manifest.num_buckets, min_tasks) * salt
+        if parts_by_bucket:
+            groups = F.create_map(
+                *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
+                  for v in (int(b), max(int(p), 1))]
+            )
+            group_col = F.pmod(
+                F.xxhash64(F.lit("binpack"),
+                           *[F.col(k) for k in self.manifest.key_cols]),
+                F.element_at(groups, F.col(BUCKET_COL)),
+            )
+            slots = max(2 * sum(parts_by_bucket.values()), min_tasks, 1)
+            df = df.repartition(slots, F.col(BUCKET_COL), group_col)
+            if sort_cols:
+                df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
+            df.write.partitionBy(BUCKET_COL).parquet(out_dir)
+            return
         if cluster is not None:
             # Z-order rewrite: instead of a key-hash salt (which spreads a
             # bucket's rows randomly over its files), split each bucket's
@@ -462,15 +487,19 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        # project to current column order; epoch-missing columns become null
-        want = [f.name for f in current.fields] + [SEQ_COL, DELETED_COL]
+        # project to current column order; epoch-missing columns become
+        # null. The cast also surfaces epoch-narrower physical types at
+        # the current type (type widening, e.g. int files under a bigint
+        # schema) — a no-op when types already match.
+        internal = {SEQ_COL: "long", DELETED_COL: "boolean"}
+        want = [f.name for f in current.fields] + list(internal)
         have = set(out.columns)
-        return out.select(
-            *[
-                (F.col(c) if c in have else F.lit(None).cast(current[c].dataType)).alias(c)
-                for c in want
-            ]
-        )
+
+        def typed(c):
+            t = internal.get(c) or current[c].dataType
+            return (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
+
+        return out.select(*[typed(c) for c in want])
 
     def _current_view(self, entries: list[dict[str, Any]]) -> DataFrame | None:
         """Snapshot view over file entries: raw read for pure-base buckets;
@@ -1177,6 +1206,7 @@ class LakeTable:
         sort_cols: Sequence[str] | None = None,
         zorder_cols: Sequence[str] | None = None,
         zorder_bits: int = 6,
+        target_file_mb: float | None = None,
     ) -> dict:
         """Maintenance rewrite (Iceberg ``rewrite_data_files`` analog):
         coalesce bucket files and optionally GC tombstones. The rewrite
@@ -1241,6 +1271,24 @@ class LakeTable:
             from synapse_etl_jobs_spark.lake.zorder import zorder_column
 
             cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits))
+        parts_by_bucket = None
+        if target_file_mb:
+            if cluster is not None:
+                raise ValueError("target_file_mb and zorder_cols are mutually exclusive")
+            # binpack (Iceberg rewrite_data_files binpack-strategy analog):
+            # size each bucket's output file count from its CURRENT bytes
+            # (driver stat calls on the victim entries — metadata, no data
+            # read; cluster-side this is the listStatus the rewrite does
+            # anyway). Folding deltas/tombstones only shrinks the result,
+            # so files come out at or under target.
+            tgt = float(target_file_mb) * (1 << 20)
+            parts_by_bucket = {}
+            for b in victims:
+                nbytes = sum(
+                    os.path.getsize(e["path"]) for e in m.buckets[str(b)]
+                    if os.path.exists(e["path"])
+                )
+                parts_by_bucket[int(b)] = max(1, round(nbytes / tgt))
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
 
         new_version = m.table_version + 1
@@ -1248,7 +1296,8 @@ class LakeTable:
             self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
         )
         self._salted_bucket_write(df, commit_dir, min_tasks=len(victims),
-                                  sort_cols=sort_cols, cluster=cluster)
+                                  sort_cols=sort_cols, cluster=cluster,
+                                  parts_by_bucket=parts_by_bucket)
         written = _list_parquet_files(commit_dir)
         new_files = [fp for b in victims for fp in written.get(b, [])]
         blooms = self._file_blooms(new_files)
@@ -1540,18 +1589,63 @@ class LakeTable:
 
     # --------------------------------------------------------------- evolve
 
+    # type widening allowed by Iceberg's schema-evolution rules: every
+    # value of the narrow type is exactly representable in the wide one,
+    # so old data files never need rewriting (read-side cast only)
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
     def evolve_schema(
         self,
         add_columns: Sequence[tuple[str, str]] = (),
         renames: dict[str, str] | None = None,
+        widen_types: "dict[str, Any] | None" = None,
     ) -> None:
         """Schema evolution without data rewrite (Iceberg semantics):
         ``add_columns`` appends nullable columns; ``renames`` maps existing
         column names to new names, resolved at read time via per-epoch
-        rename maps. Commits a new table version."""
+        rename maps; ``widen_types`` promotes a column to a wider type
+        (int→bigint, float→double, ... — only promotions where every old
+        value is exactly representable, so old files are read with a
+        cast and never rewritten). Key/bucket columns cannot be widened:
+        the bucket assignment hashes the PHYSICAL type, so a widened key
+        would scatter a key's new versions into a different bucket than
+        its history. Commits a new table version."""
+        from pyspark.sql.types import (
+            DataType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+        )
+
+        _BY_NAME = {
+            "smallint": ShortType(), "short": ShortType(),
+            "int": IntegerType(), "integer": IntegerType(),
+            "bigint": LongType(), "long": LongType(),
+            "float": FloatType(), "double": DoubleType(),
+        }
         m = self.manifest
         current = m.current_schema()
         renames = renames or {}
+        widen_types = {
+            c: (t if isinstance(t, DataType) else _BY_NAME[str(t).lower()])
+            for c, t in (widen_types or {}).items()
+        }
+        for c, t in widen_types.items():
+            if c not in current.fieldNames():
+                raise ValueError(f"widen target {c!r} not in schema")
+            if c in m.key_cols or c in m.bucket_cols:
+                raise ValueError(
+                    f"cannot widen key/bucket column {c!r}: bucket hashes "
+                    "the physical type"
+                )
+            src = current[c].dataType.simpleString()
+            if t.simpleString() not in self._WIDENINGS.get(src, ()):
+                raise ValueError(
+                    f"{src} -> {t.simpleString()} is not a safe widening "
+                    f"for column {c!r}"
+                )
         existing = set(current.fieldNames())
         for src, dst in renames.items():
             if src not in existing:
@@ -1565,7 +1659,11 @@ class LakeTable:
 
         new_schema = StructType()
         for f in current.fields:
-            new_schema.add(renames.get(f.name, f.name), f.dataType, True)
+            new_schema.add(
+                renames.get(f.name, f.name),
+                widen_types.get(f.name, f.dataType),
+                True,
+            )
         for name, typ in add_columns:
             if name in new_schema.fieldNames():
                 raise ValueError(f"column {name} already exists")

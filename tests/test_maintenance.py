@@ -98,6 +98,75 @@ def test_rebucket_validates_spec(spark, tmp_table_path):
         t.rebucket(0)
 
 
+def test_binpack_compact_sizes_files_per_bucket(spark, tmp_table_path):
+    """compact(target_file_mb=...) sizes each bucket's output file count
+    from its bytes: a bucket holding ~N x target emits ~N files, a tiny
+    bucket exactly one — and the state is unchanged."""
+    from pyspark.sql import functions as F
+
+    schema = StructType().add("k", "long").add("v", "string")
+    t = LakeTable.create(spark, tmp_table_path, schema, ["k"], num_buckets=2,
+                         write_mode="mor", write_salt=1)
+    # ~100 KB of payload per row-group-ish chunk; several merges → several files
+    rows = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        # incompressible payload (~256 B/row) so on-disk bytes track rows
+        F.concat(*[F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+                   for i in range(4)]).alias("v"),
+        F.lit("UPSERT").alias("op"), F.col("id").alias("seq"),
+    )
+    t.merge(rows, stream_id="s", batch_id=0)
+    before = t.read().count()
+    r = t.compact(target_file_mb=0.05)  # ~50 KB target → multiple files/bucket
+    assert r["applied"]
+    per_bucket = {b: len(lst) for b, lst in t.manifest.buckets.items()}
+    assert all(n >= 2 for n in per_bucket.values()), per_bucket
+    assert t.read().count() == before
+    # re-compact with a huge target folds each bucket to ONE file
+    t.merge(rows.withColumn("seq", F.col("seq") + 10_000), stream_id="s", batch_id=1)
+    t.compact(target_file_mb=1024)
+    per_bucket = {b: len(lst) for b, lst in t.manifest.buckets.items()}
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
+    assert t.read().count() == before
+
+
+def test_type_widening_reads_old_files_and_guards(spark, tmp_table_path):
+    """evolve_schema(widen_types=...): old int files read back as bigint
+    without rewrite; post-widen merges hold values beyond int range; LWW
+    across the widening boundary still applies; unsafe/key widenings are
+    rejected."""
+    schema = StructType().add("k", "long").add("n", "integer").add("f", "float")
+    t = LakeTable.create(spark, tmp_table_path, schema, ["k"], num_buckets=2,
+                         write_mode="mor", write_salt=1)
+    ev = "k long, n int, f float, op string, seq long"
+    t.merge(spark.createDataFrame([(1, 100, 1.5, "UPSERT", 1),
+                                   (2, 200, 2.5, "UPSERT", 2)], ev),
+            stream_id="s", batch_id=0)
+
+    t.evolve_schema(widen_types={"n": "bigint", "f": "double"})
+    got = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+    assert got["n"] == "bigint" and got["f"] == "double"
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {1: 100, 2: 200}
+
+    big = 3_000_000_000  # > int range
+    ev2 = "k long, n long, f double, op string, seq long"
+    t.merge(spark.createDataFrame([(1, big, 9.25, "UPSERT", 10)], ev2),
+            stream_id="s", batch_id=1)
+    state = {r["k"]: (r["n"], r["f"]) for r in t.read().collect()}
+    assert state == {1: (big, 9.25), 2: (200, 2.5)}
+    # stale pre-widen event loses to the post-widen row
+    t.merge(spark.createDataFrame([(1, 7, 0.0, "UPSERT", 5)], ev2),
+            stream_id="s", batch_id=2)
+    assert {r["k"]: r["n"] for r in t.read().collect()}[1] == big
+
+    with pytest.raises(ValueError):
+        t.evolve_schema(widen_types={"n": "int"})   # narrowing
+    with pytest.raises(ValueError):
+        t.evolve_schema(widen_types={"k": "bigint"})  # key column
+    with pytest.raises(ValueError):
+        t.evolve_schema(widen_types={"missing": "bigint"})
+
+
 def test_rebucket_empty_table(spark, tmp_table_path):
     t = LakeTable.create(spark, tmp_table_path, SCHEMA, ["k"], num_buckets=2)
     r = t.rebucket(16)

@@ -145,6 +145,44 @@ def test_rollback_noop_at_current_version(spark, table):
     assert r["applied"] is False
 
 
+def test_patch_property_random_streams(spark, tmp_path_factory):
+    """Property: for RANDOM patch streams and ANY contiguous batch
+    split, sequential merge_patches equals applying the events one by
+    one in seq order (hypothesis-driven)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    event_st = st.tuples(
+        st.integers(min_value=0, max_value=4),                      # key
+        st.sampled_from(["x", "y", "z"]),                           # a
+        st.sampled_from([1.0, 2.5, None]),                          # b
+        st.sampled_from(["UPSERT", "PATCH", "PATCH", "DELETE"]),    # op
+        st.just(0),                                                 # seq (assigned below)
+        st.sampled_from([["a"], ["b"], ["a", "b"]]),                # set_cols
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=st.lists(event_st, min_size=1, max_size=24),
+           split=st.integers(min_value=1, max_value=23),
+           mode=st.sampled_from(["cow", "mor"]))
+    def run(raw, split, mode):
+        events = [
+            (k, a, b, op, i + 1, set_cols if op == "PATCH" else None)
+            for i, (k, a, b, op, _s, set_cols) in enumerate(raw)
+        ]
+        root = tmp_path_factory.mktemp("patchprop")
+        t = LakeTable.create(spark, str(root / "t"), SCHEMA, ["k"],
+                             num_buckets=2, write_mode=mode)
+        cut = min(split, len(events))
+        for bid, chunk in enumerate([events[:cut], events[cut:]]):
+            if chunk:
+                t.merge_patches(_ev(spark, chunk), stream_id="s", batch_id=bid)
+        assert _read_state(t) == _apply_oracle(events)
+
+    run()
+
+
 def test_streaming_patch_ingest_exactly_once(spark, tmp_path):
     """File-source stream of PARTIAL-column events → foreachBatch
     merge_patches: final state matches the hand-applied contract, and
