@@ -2146,6 +2146,43 @@ def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_minhash_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental near-dup removal: a NEW batch probed against the
+    persisted LSH index of an existing corpus (never re-hashing the
+    corpus; corpus text touched only for candidate ids). Batch = the
+    doc_id%4==0 slice plus verbatim copies of corpus docs (+10M, must be
+    dropped as corpus dups) and copies of batch docs (+20M, dropped
+    in-batch); corpus = the rest. Threshold 1.0 ⇒ the survivor set is
+    the equal-shingle-set anti-join the DuckDB oracle computes."""
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_dedup_incremental, minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    base_new = d.filter(F.col("doc_id") % 4 == 0)
+    new = (
+        base_new
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text", "lang", "n_chars",
+            )
+        )
+        .unionByName(
+            base_new.filter(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                "text", "lang", "n_chars",
+            )
+        )
+    )
+    lsh = dict(shingle_k=5, num_hashes=32, bands=8)
+    ix = minhash_index(corpus, **lsh)
+    return minhash_dedup_incremental(
+        new, corpus, index=ix, threshold=1.0, **lsh
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
     """IVF-flat ANN with n_probe == n_cells — degenerates to exact
     search, so the brute-force SQL oracle gates the whole IVF plumbing
@@ -2301,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_full": q_minhash_dedup_full,
         "connected_components": q_connected_components,
         "minhash_dedup_cc": q_minhash_dedup_cc,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "catalog_pushdown_scan": q_catalog_pushdown_scan,
         "sql_insert_envelope": q_sql_insert_envelope,
         "node_snapshots_job": q_node_snapshots_job,
@@ -2375,6 +2413,27 @@ WITH aug AS ({_DOC_AUG}),
 sh AS (SELECT doc_id, {_shingle_set_sql(5)} AS s FROM aug)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+"""
+
+_MINHASH_INCREMENTAL_ORACLE = f"""
+WITH corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), newb AS (
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, n_chars FROM documents
+  WHERE doc_id % 4 <> 0 AND doc_id % 8 = 1
+  UNION ALL
+  SELECT doc_id + 20000000, text, lang, n_chars FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id % 8 = 0
+),
+shc AS (SELECT {_shingle_set_sql(5)} AS s FROM corp),
+shn AS (SELECT doc_id, lang, n_chars, {_shingle_set_sql(5)} AS s FROM newb)
+SELECT doc_id, lang, n_chars FROM shn a
+WHERE NOT EXISTS (SELECT 1 FROM shc c WHERE c.s = a.s)
+  AND NOT EXISTS (
+    SELECT 1 FROM shn o WHERE o.s = a.s AND o.doc_id < a.doc_id
+  )
 """
 
 _MINHASH_DEDUP_ORACLE = f"""
@@ -3005,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_DUP_PAIRS_ORACLE,
         "minhash_dedup_full": _MINHASH_DEDUP_ORACLE,
         "minhash_dedup_cc": _MINHASH_DEDUP_ORACLE,
+        "minhash_dedup_incremental": _MINHASH_INCREMENTAL_ORACLE,
         "simhash": f"""
             WITH {_simhash_sig_cte(48)}
             SELECT doc_id, simhash FROM sig

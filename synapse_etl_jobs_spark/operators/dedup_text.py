@@ -123,6 +123,44 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, band, bucket) LSH bucket rows for a corpus — the shared
+    banding step of self-join candidate generation and the persistable
+    incremental index. ``bucket = xxhash64(band-slice of the signature)``,
+    so identical texts land in the same bucket of every band."""
+    band_size = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, seed=seed,
+    ).withColumnRenamed(id_col, "_id")
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * band_size + 1, band_size),
+                            F.lit(seed),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", "_bb.band", "_bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -142,28 +180,10 @@ def minhash_lsh_candidates(
     row is just (id, band, bucket) — tiny — and the join is a hash join
     on a high-cardinality key, AQE-skew-splittable at scale.
     """
-    band_size = num_hashes // bands
-    sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col,
-        shingle_k=shingle_k, num_hashes=num_hashes, seed=seed,
-    ).withColumnRenamed(id_col, "_id")
-    buckets = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * band_size + 1, band_size),
-                            F.lit(seed),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bb"),
-    ).select("_id", "_bb.band", "_bb.bucket")
+    buckets = _band_buckets(
+        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    )
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "bucket")
     return (
@@ -538,3 +558,122 @@ def minhash_dedup_cc(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------- incremental index
+#
+# At 100 TB the corpus is not re-hashed per ingest: the LSH bucket rows
+# (id, band, bucket) are PERSISTED once (a lake table bucketed on
+# (band, bucket) keeps the probe join shuffle-free on the index side)
+# and each new batch is signed in O(batch), probed against the index,
+# and verified only against the candidate corpus documents. Mirrors the
+# reference's incremental snapshot jobs (process only the new window,
+# never the accumulated table) applied to near-dup removal.
+
+
+def minhash_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable MinHash-LSH index rows ``(id_col, band, bucket)`` for
+    a corpus — ``bands`` tiny rows per document. Probing a new batch
+    against this index (``minhash_index_probe``) is equivalent to the
+    cross-corpus half of ``minhash_lsh_candidates`` over the union, but
+    costs O(new batch) signatures instead of O(corpus + batch)."""
+    return _band_buckets(
+        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    ).withColumnRenamed("_id", id_col)
+
+
+def minhash_index_probe(
+    new_df: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id) pairs between a new batch and an
+    indexed corpus. Parameters MUST match the index build. Only the new
+    batch is signed; the corpus contributes nothing but its index rows,
+    and the equi-join on (band, bucket) is AQE-skew-splittable."""
+    nb = _band_buckets(
+        new_df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    ).select(F.col("_id").alias("new_id"), "band", "bucket")
+    ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    return nb.join(ix, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 1.0,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of ``new_df`` that survive near-dup removal against an
+    ALREADY-DEDUPED corpus and within the batch itself.
+
+    A new document is dropped if it verifies (exact k-shingle Jaccard ≥
+    ``threshold``) against any LSH-candidate corpus document, or against
+    a surviving smaller-id document of its own batch (single-round star
+    contraction, as ``minhash_dedup``). Corpus documents always win —
+    the corpus is the already-committed training set.
+
+    ``corpus_df`` text is touched only for candidate ids (semijoin), so
+    per-increment cost is O(batch + candidates); pass ``index`` (from
+    ``minhash_index``, typically read back from a lake table) to skip
+    re-banding the corpus too.
+
+    ids must be unique across corpus ∪ batch (true of any real corpus;
+    asserted nowhere — a collision silently cross-matches)."""
+    lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
+               bands=bands, seed=seed)
+    if index is None:
+        index = minhash_index(corpus_df, id_col=id_col, text_col=text_col, **lsh)
+    cross = minhash_index_probe(new_df, index, id_col=id_col,
+                                text_col=text_col, **lsh)
+
+    # corpus text for candidate ids only
+    cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
+    cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
+    both = new_df.select(id_col, text_col).unionByName(
+        cand_corpus.select(id_col, text_col)
+    )
+    pairs = cross.select(
+        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    if threshold >= 1.0:
+        hit = verify_exact_duplicates(
+            both, pairs, id_col=id_col, text_col=text_col, k=shingle_k
+        )
+    else:
+        hit = ngram_jaccard_pairs(
+            both, pairs, id_col=id_col, text_col=text_col, k=shingle_k
+        ).filter(F.col("jaccard") >= threshold)
+    corpus_dup = hit.select(F.col("id_a").alias(id_col)).distinct()
+    survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
+
+    # within-batch pass over the corpus-survivors only
+    within = _verified_pairs(
+        survivors, id_col=id_col, text_col=text_col,
+        threshold=threshold, **lsh,
+    )
+    return keep_min_representative(survivors, within, id_col)
