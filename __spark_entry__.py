@@ -2183,6 +2183,48 @@ def q_minhash_dedup_incremental(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _span_augmented_documents(spark, sf_dir) -> DataFrame:
+    """documents ∪ concat(doc d, unique separator, doc d+1) at +10M —
+    every original document's shingles recur inside a concat doc, while
+    the separator token splits each concat doc's duplication into TWO
+    islands, exercising the gaps-and-islands span merge."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("text").alias("_t2"))
+    cat = d.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", "text",
+            F.concat(F.lit("uniqsep"), F.col("doc_id").cast("string")),
+            "_t2",
+        ).alias("text"),
+    )
+    return d.unionByName(cat)
+
+
+def q_repeated_spans(spark, sf_dir) -> DataFrame:
+    """Passage-level duplicated spans (Lee et al. ACL'22 approximation):
+    corpus-wide repeated 6-token shingles merged into maximal per-doc
+    spans, over the concat-augmented corpus. Portable md5 hash → the
+    DuckDB oracle reproduces every span boundary exactly; the xxhash64
+    production default shares the identical plan (pinned in pytest)."""
+    from synapse_etl_jobs_spark.operators.dedup_text import repeated_spans
+    from synapse_etl_jobs_spark.operators.text import md5_hash48
+
+    aug = _span_augmented_documents(spark, sf_dir)
+    return repeated_spans(aug, k=6, min_count=2, token_hash=md5_hash48)
+
+
+def q_duplication_stats(spark, sf_dir) -> DataFrame:
+    """Per-document duplicated-token fraction over the same augmented
+    corpus — the filterable quality signal built on repeated_spans."""
+    from synapse_etl_jobs_spark.operators.dedup_text import duplication_stats
+    from synapse_etl_jobs_spark.operators.text import md5_hash48
+
+    aug = _span_augmented_documents(spark, sf_dir)
+    return duplication_stats(aug, k=6, min_count=2, token_hash=md5_hash48)
+
+
 def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
     """IVF-flat ANN with n_probe == n_cells — degenerates to exact
     search, so the brute-force SQL oracle gates the whole IVF plumbing
@@ -2339,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "minhash_dedup_cc": q_minhash_dedup_cc,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "repeated_spans": q_repeated_spans,
+        "duplication_stats": q_duplication_stats,
         "catalog_pushdown_scan": q_catalog_pushdown_scan,
         "sql_insert_envelope": q_sql_insert_envelope,
         "node_snapshots_job": q_node_snapshots_job,
@@ -2413,6 +2457,67 @@ WITH aug AS ({_DOC_AUG}),
 sh AS (SELECT doc_id, {_shingle_set_sql(5)} AS s FROM aug)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+"""
+
+def _span_oracle_ctes(k: int) -> str:
+    """CTE chain ending in ``isl(doc_id, pos, g)`` — the md5-hash48
+    repeated-shingle islands over the concat-augmented corpus, matching
+    ``repeated_spans(k=k, min_count=2, token_hash=md5_hash48)``."""
+    # position variable MUST NOT be named ``i`` — _MD5H48's internal
+    # list_transform lambda uses ``i`` and would shadow it silently
+    shingle = _MD5H48.format(
+        x=f"array_to_string(list_slice(t, p, p + {k - 1}), ' ')"
+    )
+    return f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + 10000000,
+         a.text || ' uniqsep' || CAST(a.doc_id AS VARCHAR) || ' ' || b.text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+toks AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS t FROM aug
+),
+sh AS (
+  SELECT doc_id, CAST(p - 1 AS INT) AS pos, {shingle} AS h
+  FROM toks, unnest(range(1, greatest(len(t) - {k} + 2, 1))) AS r(p)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+rep AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              <= {k} THEN 0 ELSE 1 END AS brk
+  FROM rep
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM marked
+)"""
+
+
+_REPEATED_SPANS_ORACLE = f"""
+WITH {_span_oracle_ctes(6)}
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 6 AS INT) AS span_end,
+       count(*) AS n_shingles
+FROM isl GROUP BY doc_id, g
+"""
+
+_DUPLICATION_STATS_ORACLE = f"""
+WITH {_span_oracle_ctes(6)},
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e
+  FROM isl GROUP BY doc_id, g
+),
+per AS (SELECT doc_id, sum(e - s) AS dup FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(least(coalesce(p.dup, 0), len(t.t)) AS BIGINT) AS dup_tokens,
+       round(least(coalesce(p.dup, 0), len(t.t)) * 1.0
+             / greatest(len(t.t), 1), 6) AS dup_fraction
+FROM toks t LEFT JOIN per p USING (doc_id)
 """
 
 _MINHASH_INCREMENTAL_ORACLE = f"""
@@ -3065,6 +3170,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_full": _MINHASH_DEDUP_ORACLE,
         "minhash_dedup_cc": _MINHASH_DEDUP_ORACLE,
         "minhash_dedup_incremental": _MINHASH_INCREMENTAL_ORACLE,
+        "repeated_spans": _REPEATED_SPANS_ORACLE,
+        "duplication_stats": _DUPLICATION_STATS_ORACLE,
         "simhash": f"""
             WITH {_simhash_sig_cte(48)}
             SELECT doc_id, simhash FROM sig

@@ -677,3 +677,147 @@ def minhash_dedup_incremental(
         threshold=threshold, **lsh,
     )
     return keep_min_representative(survivors, within, id_col)
+
+
+# ------------------------------------------------------------ repeated spans
+#
+# Passage-level duplication (the practical Spark approximation of
+# exact-substring dedup, Lee et al. ACL'22 "Deduplicating Training Data
+# Makes Language Models Better"): a k-TOKEN shingle that occurs >=
+# min_count times corpus-wide marks its token range as duplicated;
+# overlapping/adjacent marked ranges merge into maximal spans per
+# document. Suffix arrays don't distribute; corpus-wide shingle counts
+# are one map-side-combinable aggregate, and the span merge is a per-
+# document gaps-and-islands window (state bounded by document length).
+
+
+def token_shingle_positions(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    seed: int = 42,
+    token_hash=None,
+) -> DataFrame:
+    """(id, pos, h): hash of the k-token shingle starting at 0-based
+    token position ``pos``. Tokens are whitespace-split, so joining them
+    with a single space is injective — the shingle string IS the
+    original k-token passage. ``token_hash`` (Column → Column) defaults
+    to seeded xxhash64; pass ``md5_hash48`` for SQL-portable hashing."""
+    if token_hash is None:
+        def token_hash(c):
+            return F.xxhash64(c, F.lit(seed))
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: token_hash(F.concat_ws(" ", F.slice(t, i + 1, k))),
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    seed: int = 42,
+    token_hash=None,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (id, span_start, span_end, n_shingles) with token range
+    [span_start, span_end).
+
+    A shingle counts as duplicated when its corpus-wide occurrence count
+    (including repeats within one document) reaches ``min_count``.
+    Marked positions p1 < p2 merge while p2 - p1 <= k (their k-token
+    ranges overlap or touch). Shuffles: one count aggregate on the
+    shingle hash (map-side combined), one semijoin back, one per-doc
+    window whose partitions are bounded by document length."""
+    from pyspark.sql import Window
+
+    sh = token_shingle_positions(
+        df, id_col=id_col, text_col=text_col, k=k, seed=seed,
+        token_hash=token_hash,
+    )
+    dup = (
+        sh.groupBy("h").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    rep = sh.join(dup, "h", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = rep.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_g",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .drop("_g")
+    )
+
+
+def duplication_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    seed: int = 42,
+    token_hash=None,
+) -> DataFrame:
+    """Per-document duplicated-token accounting over ``repeated_spans``:
+    (id, n_tokens, dup_tokens, dup_fraction). Spans are disjoint by
+    construction, so dup_tokens = Σ(span_end - span_start), capped at
+    n_tokens. Documents with no duplicated span report 0/0.0. Gate with
+    e.g. ``.filter("dup_fraction < 0.5")`` to drop boilerplate-heavy
+    documents without dropping the corpus' unique remainder."""
+    spans = repeated_spans(
+        df, id_col=id_col, text_col=text_col, k=k, min_count=min_count,
+        seed=seed, token_hash=token_hash,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_dup")
+    )
+    from synapse_etl_jobs_spark.operators.text import token_count
+
+    return (
+        df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.least(
+                F.coalesce(F.col("_dup"), F.lit(0)), F.col("n_tokens").cast("long")
+            ).alias("dup_tokens"),
+            F.round(
+                F.least(F.coalesce(F.col("_dup"), F.lit(0)),
+                        F.col("n_tokens").cast("long"))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
