@@ -79,9 +79,15 @@ def compute_file_blooms(
         .agg(F.expr("bit_or(_m)").alias("_bits"))
         .collect()
     )
+    # key results by the CALLER's path spelling (manifest entries may be
+    # URIs — input_file_name normalizes differently per scheme)
+    norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
+    by_norm = {norm(fp): fp for fp in files}
     words: dict[str, list[int]] = {}
     for r in rows:
-        path = unquote(urlparse(r["_f"]).path)
+        path = by_norm.get(norm(r["_f"]))
+        if path is None:
+            continue
         words.setdefault(path, [0] * n_words)[int(r["_w"])] = int(r["_bits"])
     return {
         p: {

@@ -1,0 +1,205 @@
+"""Filesystem layer for the lake table.
+
+The manifest/commit protocol needs six primitives: atomic text swap,
+text read, existence check, mkdirs, recursive delete, and a recursive
+parquet listing. ``LocalFS`` implements them with POSIX calls (the
+sandbox default). ``HadoopFS`` implements the SAME contract through the
+JVM's ``org.apache.hadoop.fs.FileSystem`` via the active SparkSession —
+the code path a real cluster uses for ``hdfs://`` / ``s3a://`` /
+``file:`` table locations, testable in-sandbox with ``file:`` URIs
+(the JVM resolves them through the exact Hadoop API a cluster would).
+
+Atomicity note: the commit pointer swap is ``rename``, which is atomic
+on POSIX and HDFS. Object stores (S3) rename non-atomically; production
+deployments put the pointer swap behind a catalog CAS (Iceberg's
+metastore swap — the engine already enforces optimistic concurrency on
+top, see ``ConcurrentWriteError``), so the FS layer's rename is the
+single method to override there.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+def filesystem_for(path: str, spark=None):
+    """Pick the FS implementation from the path scheme: URIs go through
+    Hadoop (requires ``spark``), bare paths through POSIX."""
+    if "://" in path or path.startswith("file:/"):
+        if spark is None:
+            raise ValueError(f"URI table path {path!r} requires a SparkSession")
+        return HadoopFS(spark)
+    return LocalFS()
+
+
+class LocalFS:
+    """POSIX filesystem (sandbox default)."""
+
+    scheme_local = True
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # POSIX-atomic; production: catalog CAS here
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mkdirs(self, path: str, exist_ok: bool = True) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def delete(self, path: str) -> None:
+        """Remove a file, or a directory tree recursively."""
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def list_files(self, root: str, suffix: str = "") -> list[tuple[str, int]]:
+        """Recursive (path, size) listing under ``root`` (missing → [])."""
+        out: list[tuple[str, int]] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                if fn.endswith(suffix):
+                    fp = os.path.join(dirpath, fn)
+                    out.append((fp, os.path.getsize(fp)))
+        return out
+
+    def list_dirs(self, root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def pyarrow_path(self, path: str) -> str | None:
+        """Path usable by driver-side pyarrow, or None if not local."""
+        return path
+
+
+class HadoopFS:
+    """``org.apache.hadoop.fs.FileSystem`` via the SparkSession's JVM.
+
+    Every method resolves the FileSystem for the specific path, so mixed
+    schemes (e.g. manifest on ``hdfs://``, reading ``file:`` fixtures)
+    work. Not thread-safe across Python threads sharing one gateway —
+    the manifest protocol only calls it from the driver's commit path.
+    """
+
+    scheme_local = False
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        fs = self._fs(path)
+        out = fs.create(self._path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            out.hflush()
+        finally:
+            out.close()
+        # atomic on HDFS/POSIX; S3 deployments override with a catalog CAS
+        if not fs.rename(self._path(tmp), self._path(path)):
+            # Hadoop rename refuses to clobber on some FS — replicate
+            # os.replace semantics (delete-then-rename; the manifest
+            # protocol never renames onto a live pointer concurrently
+            # thanks to the optimistic-concurrency check upstream)
+            fs.delete(self._path(path), False)
+            if not fs.rename(self._path(tmp), self._path(path)):
+                raise IOError(f"rename {tmp} -> {path} failed")
+
+    def read_text(self, path: str) -> str:
+        fs = self._fs(path)
+        stream = fs.open(self._path(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            chunks = []
+            line = reader.readLine()
+            while line is not None:
+                chunks.append(line)
+                line = reader.readLine()
+            return "\n".join(chunks)
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._path(path))
+
+    def mkdirs(self, path: str, exist_ok: bool = True) -> None:
+        fs = self._fs(path)
+        if not exist_ok and fs.exists(self._path(path)):
+            raise FileExistsError(path)
+        fs.mkdirs(self._path(path))
+
+    def delete(self, path: str) -> None:
+        self._fs(path).delete(self._path(path), True)
+
+    def list_files(self, root: str, suffix: str = "") -> list[tuple[str, int]]:
+        fs = self._fs(root)
+        if not fs.exists(self._path(root)):
+            return []
+        it = fs.listFiles(self._path(root), True)  # recursive, files only
+        out: list[tuple[str, int]] = []
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(suffix):
+                out.append((p, st.getLen()))
+        out.sort()
+        return out
+
+    def list_dirs(self, root: str) -> list[str]:
+        fs = self._fs(root)
+        if not fs.exists(self._path(root)):
+            return []
+        return sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(self._path(root))
+            if st.isDirectory()
+        )
+
+    def size(self, path: str) -> int:
+        return self._fs(path).getFileStatus(self._path(path)).getLen()
+
+    def upload(self, local_path: str, dst: str) -> None:
+        """Copy a driver-local file to table storage (lineage append on
+        remote schemes; never on the row path)."""
+        self._fs(dst).copyFromLocalFile(
+            False, True, self._path(os.path.abspath(local_path)), self._path(dst)
+        )
+
+    def pyarrow_path(self, path: str) -> str | None:
+        """file: URIs are readable locally after stripping the scheme;
+        other schemes have no driver-side pyarrow path (footer stats
+        then run as a Spark job over the data — see table.py)."""
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        if path.startswith("file:/"):
+            return path[len("file:"):]
+        return None if "://" in path else path

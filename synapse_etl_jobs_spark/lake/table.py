@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from synapse_etl_jobs_spark.lake.fs import LocalFS, filesystem_for
 from synapse_etl_jobs_spark.operators.dedup import (
     dedup_lww, dedup_lww_salted, dedup_lww_semijoin,
 )
@@ -56,30 +57,20 @@ BUCKET_COL = "_bucket"
 DELETE_OPS = ("DELETE",)  # ops that remove the key; anything else upserts
 
 
-def _atomic_write_text(path: str, text: str) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)  # POSIX-atomic; production: catalog CAS (Iceberg) here
 
-
-def _list_parquet_files(root: str) -> dict[int, list[str]]:
+def _list_parquet_files(root: str, fs=None) -> dict[int, list[str]]:
     """Map bucket id → parquet files under a ``_bucket=<i>`` hive layout.
 
-    Local-FS walk; on a cluster this is one Hadoop ``FileSystem.listStatus``
-    per commit directory (same O(files) cost Iceberg pays when committing).
+    One recursive listing per commit directory through the FS layer
+    (POSIX walk locally, ``FileSystem.listFiles(recursive)`` on Hadoop —
+    the same O(files) cost Iceberg pays when committing).
     """
     out: dict[int, list[str]] = {}
-    for dirpath, _dirs, files in os.walk(root):
-        base = os.path.basename(dirpath)
+    for fp, _sz in (fs or LocalFS()).list_files(root, ".parquet"):
+        base = os.path.basename(os.path.dirname(fp))
         if not base.startswith(f"{BUCKET_COL}="):
             continue
-        b = int(base.split("=", 1)[1])
-        for fn in sorted(files):
-            if fn.endswith(".parquet"):
-                out.setdefault(b, []).append(os.path.join(dirpath, fn))
+        out.setdefault(int(base.split("=", 1)[1]), []).append(fp)
     return out
 
 
@@ -115,7 +106,8 @@ _FOOTER_STATS_DISTRIBUTE_THRESHOLD = 32
 
 
 def _footer_stats_many(
-    files: list[str], seq_col: str, spark: "SparkSession | None" = None
+    files: list[str], seq_col: str, spark: "SparkSession | None" = None,
+    fs=None,
 ) -> dict[str, dict[str, Any]]:
     """Per-file footer stats for a commit's file set.
 
@@ -126,15 +118,55 @@ def _footer_stats_many(
     path. This is per-file orchestration, not per-row Python — the row
     path stays entirely JVM-side.
     """
+    fs = fs or LocalFS()
+    locs = {fp: fs.pyarrow_path(fp) for fp in files}
+    if any(loc is None for loc in locs.values()):
+        # truly remote storage (hdfs:/s3a:): no driver-side pyarrow —
+        # ONE Spark aggregation over the files computes the same stats
+        # (reads data pages instead of footers; still fully distributed)
+        return _footer_stats_spark_job(files, seq_col, spark, fs)
     if spark is not None and len(files) > _FOOTER_STATS_DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
         slices = min(len(files), max(sc.defaultParallelism, 1))
+        pairs = list(locs.items())
         return dict(
-            sc.parallelize(files, slices)
-            .map(lambda fp: (fp, _footer_stats([fp], seq_col)))
+            sc.parallelize(pairs, slices)
+            .map(lambda kv: (kv[0], _footer_stats([kv[1]], seq_col)))
             .collect()
         )
-    return {fp: _footer_stats([fp], seq_col) for fp in files}
+    return {fp: _footer_stats([loc], seq_col) for fp, loc in locs.items()}
+
+
+def _footer_stats_spark_job(
+    files: list[str], seq_col: str, spark: "SparkSession", fs
+) -> dict[str, dict[str, Any]]:
+    """FS-agnostic per-file stats: one scan grouped by input file. Byte
+    sizes come from the FS listing (driver-side metadata calls)."""
+    from urllib.parse import unquote, urlparse
+
+    norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
+    by_norm = {norm(fp): fp for fp in files}
+    df = spark.read.parquet(*files)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    has_seq = seq_col in df.columns
+    if has_seq:
+        aggs += [F.min(seq_col).alias("mn"), F.max(seq_col).alias("mx")]
+    rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    out: dict[str, dict[str, Any]] = {}
+    for r in rows:
+        fp = by_norm.get(norm(r["_f"]))
+        if fp is None:
+            continue
+        out[fp] = {
+            "rows": r["rows"], "bytes": fs.size(fp),
+            "seq_min": r["mn"] if has_seq else None,
+            "seq_max": r["mx"] if has_seq else None,
+        }
+    for fp in files:  # empty files produce no group
+        out.setdefault(
+            fp, {"rows": 0, "bytes": fs.size(fp), "seq_min": None, "seq_max": None}
+        )
+    return out
 
 
 def _json_stat(v: Any) -> Any:
@@ -151,7 +183,8 @@ def _json_stat(v: Any) -> Any:
 
 
 def _file_column_stats(
-    files: list[str], cols: list[str], spark: "SparkSession | None" = None
+    files: list[str], cols: list[str], spark: "SparkSession | None" = None,
+    fs=None,
 ) -> dict[str, dict[str, list]]:
     """Per-file [min, max] for ``cols`` straight from parquet footers —
     the manifest-level column metrics Iceberg keeps per data file, the
@@ -185,11 +218,43 @@ def _file_column_stats(
                 out[c] = [_json_stat(lo), _json_stat(hi)]
         return out
 
+    fs = fs or LocalFS()
+    locs = {fp: fs.pyarrow_path(fp) for fp in files}
+    if any(loc is None for loc in locs.values()):
+        # remote storage: one grouped scan instead of footer parses
+        from urllib.parse import unquote, urlparse
+
+        norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
+        by_norm = {norm(fp): fp for fp in files}
+        df = spark.read.parquet(*files)
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = [
+            a for c in present
+            for a in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
+        ]
+        out: dict[str, dict[str, list]] = {}
+        for r in df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect():
+            fp = by_norm.get(norm(r["_f"]))
+            if fp is None:
+                continue
+            out[fp] = {
+                c: [_json_stat(r[f"mn_{c}"]), _json_stat(r[f"mx_{c}"])]
+                for c in present
+                if r[f"mn_{c}"] is not None
+            }
+        return out
     if spark is not None and len(files) > _FOOTER_STATS_DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
         slices = min(len(files), max(sc.defaultParallelism, 1))
-        return dict(sc.parallelize(files, slices).map(lambda fp: (fp, one(fp))).collect())
-    return {fp: one(fp) for fp in files}
+        pairs = list(locs.items())
+        return dict(
+            sc.parallelize(pairs, slices)
+            .map(lambda kv: (kv[0], one(kv[1])))
+            .collect()
+        )
+    return {fp: one(loc) for fp, loc in locs.items()}
 
 
 def _sum_stats(stats: "Iterable[dict[str, Any]]") -> dict[str, Any]:
@@ -238,6 +303,10 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.manifest = manifest
+        # POSIX for bare paths, org.apache.hadoop.fs for URI locations
+        # (file:/hdfs:/s3a: — see lake/fs.py); everything driver-side
+        # that touches table storage goes through this handle
+        self.fs = filesystem_for(path, spark)
 
     # ------------------------------------------------------------------ setup
 
@@ -306,7 +375,10 @@ class LakeTable:
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"unknown write mode: {write_mode}")
         bucket_cols = list(bucket_cols or key_cols[:1])
-        os.makedirs(cls._manifest_dir(path), exist_ok=False)
+        fs = filesystem_for(path, spark)
+        if fs.exists(cls._manifest_dir(path)):
+            raise FileExistsError(cls._manifest_dir(path))
+        fs.mkdirs(cls._manifest_dir(path), exist_ok=False)
         m = Manifest(
             table_version=0,
             key_cols=list(key_cols),
@@ -327,27 +399,26 @@ class LakeTable:
                    if auto_compact_min_deltas else {}),
             },
         )
-        cls._commit_manifest(path, m)
+        cls._commit_manifest(path, m, fs)
         return cls(spark, path, m)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+        fs = filesystem_for(path, spark)
         mdir = cls._manifest_dir(path)
         if version is None:
-            with open(os.path.join(mdir, "CURRENT")) as f:
-                version = int(f.read().strip())
+            version = int(fs.read_text(os.path.join(mdir, "CURRENT")).strip())
         mpath = os.path.join(mdir, f"v{version:012d}.json")
-        if not os.path.exists(mpath):
+        if not fs.exists(mpath):
             raise ValueError(
                 f"table version {version} does not exist at {path!r} — "
                 "either it was never committed or vacuum() expired it "
                 "(time travel only reaches retained versions)"
             )
-        with open(mpath) as f:
-            return cls(spark, path, Manifest.from_json(f.read()))
+        return cls(spark, path, Manifest.from_json(fs.read_text(mpath)))
 
     @classmethod
-    def _commit_manifest(cls, path: str, m: Manifest) -> None:
+    def _commit_manifest(cls, path: str, m: Manifest, fs) -> None:
         """Commit = write the immutable version file, then swap CURRENT —
         guarded by an optimistic compare-and-set: if CURRENT no longer
         points at this commit's parent, another writer won the race and
@@ -359,9 +430,8 @@ class LakeTable:
         enforced invariant with a clear error."""
         mdir = cls._manifest_dir(path)
         cur_path = os.path.join(mdir, "CURRENT")
-        if m.parent_version is not None and os.path.exists(cur_path):
-            with open(cur_path) as f:
-                cur = int(f.read().strip())
+        if m.parent_version is not None and fs.exists(cur_path):
+            cur = int(fs.read_text(cur_path).strip())
             if cur != m.parent_version:
                 raise ConcurrentWriteError(
                     f"commit of version {m.table_version} expected CURRENT="
@@ -369,8 +439,8 @@ class LakeTable:
                     "committed concurrently; reload the table and retry"
                 )
         mpath = os.path.join(mdir, f"v{m.table_version:012d}.json")
-        _atomic_write_text(mpath, m.to_json())
-        _atomic_write_text(cur_path, str(m.table_version))
+        fs.write_text_atomic(mpath, m.to_json())
+        fs.write_text_atomic(cur_path, str(m.table_version))
 
     # ------------------------------------------------------------------- read
 
@@ -927,14 +997,15 @@ class LakeTable:
             else os.path.join(self.path, "_staging", f"s{uuid.uuid4().hex[:8]}")
         )
         self._salted_bucket_write(staged_df, stage_dir)
-        staged = _list_parquet_files(stage_dir)
+        staged = _list_parquet_files(stage_dir, self.fs)
 
         # affected buckets + lineage stats from parquet footers; each
         # staged footer is parsed ONCE (distributed above the file-count
         # threshold) and reused by the commit loop below in mor mode
         affected = sorted(staged)
         staged_file_stats = _footer_stats_many(
-            [fp for fps in staged.values() for fp in fps], SEQ_COL, self.spark
+            [fp for fps in staged.values() for fp in fps], SEQ_COL,
+            self.spark, self.fs,
         )
         src_stats = _sum_stats(staged_file_stats.values())
 
@@ -955,12 +1026,10 @@ class LakeTable:
                     BUCKET_COL, self._bucket_expr()
                 )
                 self._salted_bucket_write(merged, commit_dir, min_tasks=len(affected))
-                written = _list_parquet_files(commit_dir)
+                written = _list_parquet_files(commit_dir, self.fs)
             except BaseException:
                 # a failed fold must not orphan the multi-GB staging dir
-                import shutil
-
-                shutil.rmtree(stage_dir, ignore_errors=True)
+                self.fs.delete(stage_dir)
                 raise
         else:
             written = staged
@@ -972,7 +1041,7 @@ class LakeTable:
             if written is staged
             else _footer_stats_many(
                 [fp for b in affected for fp in written.get(b, [])],
-                SEQ_COL, self.spark,
+                SEQ_COL, self.spark, self.fs,
             )
         )
 
@@ -984,7 +1053,7 @@ class LakeTable:
         merge_stat_cols = list(m.props.get("stats_cols") or [])
         col_stats = _file_column_stats(
             [fp for b in affected for fp in written.get(b, [])],
-            merge_stat_cols, spark=self.spark,
+            merge_stat_cols, spark=self.spark, fs=self.fs,
         )
         files_written, bytes_written, rows_written = 0, 0, 0
         lineage_rows = []
@@ -1018,9 +1087,7 @@ class LakeTable:
                     )
             new_buckets[str(b)] = entries  # empty list = bucket fully deleted
         if mode == "cow" and stage_dir != commit_dir:
-            import shutil
-
-            shutil.rmtree(stage_dir, ignore_errors=True)
+            self.fs.delete(stage_dir)
 
         applied = {k: dict(v) for k, v in m.applied_batches.items()}
         if batch_id is not None:
@@ -1043,7 +1110,7 @@ class LakeTable:
         )
         if lineage_rows:
             self._append_lineage(lineage_rows)
-        self._commit_manifest(self.path, new_manifest)
+        self._commit_manifest(self.path, new_manifest, self.fs)
         self.manifest = new_manifest
 
         result = {
@@ -1298,8 +1365,8 @@ class LakeTable:
             parts_by_bucket = {}
             for b in victims:
                 nbytes = sum(
-                    os.path.getsize(e["path"]) for e in m.buckets[str(b)]
-                    if os.path.exists(e["path"])
+                    self.fs.size(e["path"]) for e in m.buckets[str(b)]
+                    if self.fs.exists(e["path"])
                 )
                 parts_by_bucket[int(b)] = max(1, round(nbytes / tgt))
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -1311,13 +1378,13 @@ class LakeTable:
         self._salted_bucket_write(df, commit_dir, min_tasks=len(victims),
                                   sort_cols=sort_cols, cluster=cluster,
                                   parts_by_bucket=parts_by_bucket)
-        written = _list_parquet_files(commit_dir)
+        written = _list_parquet_files(commit_dir, self.fs)
         new_files = [fp for b in victims for fp in written.get(b, [])]
         blooms = self._file_blooms(new_files)
         stat_cols = list(
             zorder_cols or sort_cols or m.props.get("stats_cols") or []
         )
-        col_stats = _file_column_stats(new_files, stat_cols, spark=self.spark)
+        col_stats = _file_column_stats(new_files, stat_cols, spark=self.spark, fs=self.fs)
         new_buckets = dict(m.buckets)
         new_buckets.update({
             str(b): [
@@ -1340,7 +1407,7 @@ class LakeTable:
             parent_version=m.table_version,
             props=m.props,
         )
-        self._commit_manifest(self.path, new_manifest)
+        self._commit_manifest(self.path, new_manifest, self.fs)
         self.manifest = new_manifest
         return {"applied": True, "table_version": new_version,
                 "compacted_buckets": victims,
@@ -1402,11 +1469,12 @@ class LakeTable:
                 self.path, "data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}"
             )
             shadow._salted_bucket_write(df, commit_dir, min_tasks=num_buckets)
-            written = _list_parquet_files(commit_dir)
+            written = _list_parquet_files(commit_dir, self.fs)
             new_files = [fp for fps in written.values() for fp in fps]
             blooms = shadow._file_blooms(new_files)
             col_stats = _file_column_stats(
-                new_files, list(m.props.get("stats_cols") or []), spark=self.spark
+                new_files, list(m.props.get("stats_cols") or []),
+                spark=self.spark, fs=self.fs,
             )
             new_manifest.buckets = {
                 str(b): [
@@ -1417,7 +1485,7 @@ class LakeTable:
                 ]
                 for b, fps in written.items()
             }
-        self._commit_manifest(self.path, new_manifest)
+        self._commit_manifest(self.path, new_manifest, self.fs)
         self.manifest = new_manifest
         return {
             "applied": True,
@@ -1460,7 +1528,7 @@ class LakeTable:
             parent_version=m.table_version,
             props=old.props,
         )
-        self._commit_manifest(self.path, new_manifest)
+        self._commit_manifest(self.path, new_manifest, self.fs)
         self.manifest = new_manifest
         return {"applied": True, "rolled_back_to": version,
                 "table_version": new_manifest.table_version}
@@ -1477,8 +1545,6 @@ class LakeTable:
         superseded files behind by design so readers of older snapshots
         are never broken until the retention decision is made).
         """
-        import glob
-
         retain_versions = max(int(retain_versions), 1)
         current = self.manifest.table_version
         keep_from = current - retain_versions + 1
@@ -1487,15 +1553,21 @@ class LakeTable:
         # compare REAL paths: manifests may record the table path under a
         # different spelling (relative vs absolute, symlinked mount) than
         # this process sees — raw string comparison would then classify
-        # every live file as orphaned and delete the table
-        norm = lambda p: os.path.realpath(os.path.abspath(p))  # noqa: E731
+        # every live file as orphaned and delete the table. URI paths are
+        # written by this engine verbatim, so they compare as strings.
+        if self.fs.scheme_local:
+            norm = lambda p: os.path.realpath(os.path.abspath(p))  # noqa: E731
+        else:
+            norm = lambda p: p  # noqa: E731
         kept_files: set[str] = set()
         expired_manifests: list[str] = []
-        for mp in sorted(glob.glob(os.path.join(mdir, "v*.json"))):
-            v = int(os.path.basename(mp)[1:-5])
+        for mp, _sz in self.fs.list_files(mdir, ".json"):
+            base = os.path.basename(mp)
+            if not (base.startswith("v") and base.endswith(".json")):
+                continue
+            v = int(base[1:-5])
             if v >= keep_from:
-                with open(mp) as f:
-                    m = Manifest.from_json(f.read())
+                m = Manifest.from_json(self.fs.read_text(mp))
                 for entries in m.buckets.values():
                     kept_files.update(norm(e["path"]) for e in entries)
             else:
@@ -1504,7 +1576,7 @@ class LakeTable:
         # safety valve: if the CURRENT manifest references files we cannot
         # resolve on disk, the path spelling is inconsistent — abort
         # rather than treat live data as orphaned
-        missing = [p for p in kept_files if not os.path.exists(p)]
+        missing = [p for p in kept_files if not self.fs.exists(p)]
         if missing:
             raise RuntimeError(
                 "vacuum aborted: current manifests reference files not "
@@ -1514,30 +1586,28 @@ class LakeTable:
 
         deleted_data = 0
         data_root = os.path.join(self.path, "data")
-        for dirpath, _dirs, files in os.walk(data_root):
-            for fn in files:
-                fp = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and norm(fp) not in kept_files:
-                    os.remove(fp)
-                    deleted_data += 1
+        for fp, _sz in self.fs.list_files(data_root, ".parquet"):
+            if norm(fp) not in kept_files:
+                self.fs.delete(fp)
+                deleted_data += 1
         for mp in expired_manifests:
-            os.remove(mp)
+            self.fs.delete(mp)
         # failed CoW merges may leave orphaned staging dirs; reclaim them
         # (safe: staging is only live DURING a merge, and the table is
         # single-writer — vacuum is a maintenance call, not concurrent)
         staging_root = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging_root):
-            import shutil
-
-            for d in os.listdir(staging_root):
-                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
-        # prune now-empty commit directories (rmdir refuses non-empty)
-        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
-            if dirpath != data_root:
-                try:
-                    os.rmdir(dirpath)
-                except OSError:
-                    pass
+        for d in self.fs.list_dirs(staging_root):
+            self.fs.delete(d)
+        # prune now-empty commit directories (local only — object stores
+        # have no real directories and Hadoop delete(recursive=False)
+        # refuses non-empty ones anyway)
+        if self.fs.scheme_local:
+            for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+                if dirpath != data_root:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
         return {
             "retained_from_version": keep_from,
             "expired_manifests": len(expired_manifests),
@@ -1577,7 +1647,7 @@ class LakeTable:
         # ingest path (and with a python-list DataFrame it even spins up
         # Python workers: benched ~5 s per append)
         lineage_dir = os.path.join(self.path, "_lineage")
-        os.makedirs(lineage_dir, exist_ok=True)
+        self.fs.mkdirs(lineage_dir, exist_ok=True)
         arrow_schema = pa.schema(
             [
                 (f.name, pa.int64() if f.dataType.typeName() in ("long", "integer")
@@ -1590,11 +1660,22 @@ class LakeTable:
              for r in rows],
             schema=arrow_schema,
         )
-        pq.write_table(tbl, os.path.join(lineage_dir, f"l-{uuid.uuid4().hex}.parquet"))
+        dst = os.path.join(lineage_dir, f"l-{uuid.uuid4().hex}.parquet")
+        loc = self.fs.pyarrow_path(dst)
+        if loc is not None:
+            pq.write_table(tbl, loc)
+        else:
+            # remote storage: stage locally, one FS upload (still no
+            # Spark job — lineage stays off the ingest critical path)
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".parquet") as tf:
+                pq.write_table(tbl, tf.name)
+                self.fs.upload(tf.name, dst)
 
     def lineage(self) -> DataFrame:
         p = os.path.join(self.path, "_lineage")
-        if not os.path.isdir(p):
+        if not self.fs.exists(p):
             # no merge has written lineage yet (fresh table, or
             # collect_lineage=False) — zero rows, not an error
             return self.spark.createDataFrame([], self._lineage_schema())
@@ -1708,5 +1789,5 @@ class LakeTable:
             parent_version=m.table_version,
             props=m.props,
         )
-        self._commit_manifest(self.path, new_manifest)
+        self._commit_manifest(self.path, new_manifest, self.fs)
         self.manifest = new_manifest

@@ -189,8 +189,19 @@ def bucket_of(values: list[tuple[Any, str]], num_buckets: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _local(path: str) -> str:
+    """Python DataSource workers run without a JVM, so manifest access is
+    pyarrow/posix: accept bare paths and file: URIs (strip the scheme);
+    hdfs:/s3a: tables need the LakeTable API, which has the Hadoop FS."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:/"):
+        return path[len("file:"):]
+    return path
+
+
 def _load_manifest(path: str, version: int | None = None) -> dict:
-    mdir = os.path.join(path, "_manifests")
+    mdir = os.path.join(_local(path), "_manifests")
     if version is None:
         with open(os.path.join(mdir, "CURRENT")) as f:
             version = int(f.read().strip())
@@ -199,7 +210,7 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _current_version(path: str) -> int:
-    with open(os.path.join(path, "_manifests", "CURRENT")) as f:
+    with open(os.path.join(_local(path), "_manifests", "CURRENT")) as f:
         return int(f.read().strip())
 
 
