@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "cdc_patch_merge",
     "lake_rebucket",
     "lake_zorder_scan",
+    "minhash_dedup_incremental",
+    "repeated_spans",
+    "duplication_stats",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)
@@ -206,6 +209,19 @@ def main() -> None:
     # measurement hygiene, not a workload change: the child runs the
     # exact run_cdc_replay above.
     spark.stop()
+    # spark.stop() leaves the py4j gateway JVM (and its 16g heap) alive
+    # until the Python process exits — it would co-run with the replay
+    # children below and depress their numbers. Kill it explicitly.
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is not None:
+        gw.shutdown()
+        if getattr(gw, "proc", None) is not None:
+            gw.proc.terminate()
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+
     cdc = run_cdc_replay_subprocess(N_EVENTS, N_BATCHES, mode="mor")
     times["cdc_replay_mor"] = cdc["wall_sec"]
     total += cdc["wall_sec"]

@@ -66,7 +66,9 @@ def ngram_jaccard_pairs(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+        # pass through any extra pair columns (e.g. a cross/within mark)
+        .select(*pairs.columns,
+                jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
     )
 
 
@@ -229,7 +231,8 @@ def verify_exact_duplicates(
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .filter(F.col("_ha") == F.col("_hb"))
-        .select("id_a", "id_b")
+        # pass through any extra pair columns (e.g. a cross/within mark)
+        .select(*pairs.columns)
     )
 
 
@@ -648,33 +651,71 @@ def minhash_dedup_incremental(
                bands=bands, seed=seed)
     if index is None:
         index = minhash_index(corpus_df, id_col=id_col, text_col=text_col, **lsh)
-    cross = minhash_index_probe(new_df, index, id_col=id_col,
-                                text_col=text_col, **lsh)
 
-    # corpus text for candidate ids only
+    # ONE signature/banding pass over the batch serves BOTH the index
+    # probe and the within-batch self-join (banding is deterministic
+    # per document, so candidate pairs among any subset of the batch
+    # are exactly the full-batch pairs filtered to that subset)
+    nb = _band_buckets(new_df, id_col=id_col, text_col=text_col, **lsh)
+    ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    cross = (
+        nb.select(F.col("_id").alias("new_id"), "band", "bucket")
+        .join(ix, ["band", "bucket"])
+        .select("new_id", "corpus_id").distinct()
+    )
+    within_cands = (
+        nb.select(F.col("_id").alias("id_a"), "band", "bucket")
+        .join(nb.select(F.col("_id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    # the banding aggregate appears in several plan branches — Spark's
+    # ReuseExchange collapses the identical subtrees at execution, the
+    # same way minhash_lsh_candidates' self-join shares one signature
+    # pass; a (mark, id_a, id_b) union keeps cross and within hits
+    # separable after ONE shared verification
+    all_pairs = (
+        cross.select(
+            F.lit(True).alias("_cross"),
+            F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"),
+        )
+        .unionByName(
+            within_cands.select(F.lit(False).alias("_cross"), "id_a", "id_b")
+        )
+    )
+
+    # corpus text for candidate ids only; shingle verification runs
+    # ONCE over (batch ∪ candidate corpus docs) for both pair sets
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
     cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
     both = new_df.select(id_col, text_col).unionByName(
         cand_corpus.select(id_col, text_col)
     )
-    pairs = cross.select(
-        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
-    )
     if threshold >= 1.0:
         hit = verify_exact_duplicates(
-            both, pairs, id_col=id_col, text_col=text_col, k=shingle_k
+            both, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k
         )
     else:
         hit = ngram_jaccard_pairs(
-            both, pairs, id_col=id_col, text_col=text_col, k=shingle_k
-        ).filter(F.col("jaccard") >= threshold)
-    corpus_dup = hit.select(F.col("id_a").alias(id_col)).distinct()
+            both, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k
+        ).filter(F.col("jaccard") >= threshold).drop("jaccard")
+
+    corpus_dup = (
+        hit.filter(F.col("_cross"))
+        .select(F.col("id_a").alias(id_col)).distinct()
+    )
     survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
 
-    # within-batch pass over the corpus-survivors only
-    within = _verified_pairs(
-        survivors, id_col=id_col, text_col=text_col,
-        threshold=threshold, **lsh,
+    # within-batch star contraction among corpus-survivors only (the
+    # survivor subset's LSH pairs ARE the full-batch pairs filtered to
+    # survivor endpoints — banding is per-document deterministic)
+    surv_ids = survivors.select(id_col)
+    within = (
+        hit.filter(~F.col("_cross"))
+        .join(surv_ids.withColumnRenamed(id_col, "id_a"), "id_a", "leftsemi")
+        .join(surv_ids.withColumnRenamed(id_col, "id_b"), "id_b", "leftsemi")
+        .select("id_a", "id_b")
     )
     return keep_min_representative(survivors, within, id_col)
 
