@@ -111,7 +111,9 @@ def minhash_signatures(
     columns — everything whole-stage-codegen, map-side partially
     aggregated before the one shuffle on id. Output: (id_col, _sig array).
     """
-    exploded = df.select(
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
+    exploded = spread_for_explode(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("_s")
     ).select(id_col, F.xxhash64("_s", F.lit(seed)).alias("_h"))
     # function family = rehash of the base hash with the function index
@@ -356,8 +358,10 @@ def simhash_signatures(
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64 (got {bits})")
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
     hf = token_hash or (lambda t: F.xxhash64(t, F.lit(seed)))
-    ex = df.select(
+    ex = spread_for_explode(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).select(id_col, hf(F.col("_t")).alias("_h"))
     aggs = [
@@ -746,6 +750,8 @@ def token_shingle_positions(
     with a single space is injective — the shingle string IS the
     original k-token passage. ``token_hash`` (Column → Column) defaults
     to seeded xxhash64; pass ``md5_hash48`` for SQL-portable hashing."""
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
     if token_hash is None:
         def token_hash(c):
             return F.xxhash64(c, F.lit(seed))
@@ -754,7 +760,7 @@ def token_shingle_positions(
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
-    return df.select(
+    return spread_for_explode(df).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

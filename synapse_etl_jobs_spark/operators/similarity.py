@@ -153,7 +153,9 @@ def rp_signatures(
     They collide only with each other; downstream cosine ranking decides
     what that means — they never silently vanish from results.
     """
-    ex = df.select(
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
+    ex = spread_for_explode(df).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("_j", "_v")
     ).select(
         id_col,

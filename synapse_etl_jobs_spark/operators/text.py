@@ -24,6 +24,31 @@ LANG_MARKERS: dict[str, list[str]] = {
 _PUNCT_RE = r"[^\w\s]"
 
 
+def spread_for_explode(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a compact corpus frame BEFORE an explode that
+    multiplies its work by orders of magnitude (shingles, tokens,
+    vector components).
+
+    Explodes execute in the stage of their INPUT: a small parquet
+    corpus arrives as 1-2 splits (parquet can't split below a row
+    group), so per-shingle hashing would run on 1-2 cores no matter how
+    many the cluster has — measured 3-4x of the wall time of every LSH
+    signature pass at sf0.1 local[32]. The repartition shuffles only
+    the compact document rows, never the exploded rows, and is a no-op
+    when the scan already has enough splits (the 100 TB case, where
+    corpus files outnumber cores).
+
+    Partition-count probe note: ``df.rdd`` finalizes upstream AQE
+    stages. Corpus inputs are scan-shaped in practice (no shuffles), so
+    the probe is free; for a heavily derived frame, repartition it
+    yourself and this becomes a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(c) -> Column:
     """Whitespace tokenization with empty tokens removed."""
     col = c if isinstance(c, Column) else F.col(c)
@@ -370,7 +395,7 @@ def decontaminate(
     Returns one row per doc: id, n_grams, n_matched, contaminated.
     """
     hf = gram_hash or (lambda g: F.xxhash64(g))
-    d = docs.select(
+    d = spread_for_explode(docs).select(
         F.col(id_col), token_ngrams(F.col(text_col), n).alias("_grams")
     ).select(
         id_col,
@@ -417,7 +442,8 @@ def document_frequency(
     Returns: term, doc_freq, idf (6-dp rounded for cross-engine bit
     stability of downstream rankings)."""
     doc_terms = (
-        docs.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
+        spread_for_explode(docs)
+        .select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -465,7 +491,8 @@ def tf_idf_topk(
 
     Returns: id, kw_rank (1-based), term, tf, score."""
     doc_terms = (
-        docs.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
+        spread_for_explode(docs)
+        .select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
