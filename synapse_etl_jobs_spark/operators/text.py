@@ -24,7 +24,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 _PUNCT_RE = r"[^\w\s]"
 
 
-def spread_for_explode(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_for_explode(
+    df: DataFrame, min_parts: int | None = None, probe: bool = True
+) -> DataFrame:
     """Repartition a compact corpus frame BEFORE an explode that
     multiplies its work by orders of magnitude (shingles, tokens,
     vector components).
@@ -40,10 +42,14 @@ def spread_for_explode(df: DataFrame, min_parts: int | None = None) -> DataFrame
 
     Partition-count probe note: ``df.rdd`` finalizes upstream AQE
     stages. Corpus inputs are scan-shaped in practice (no shuffles), so
-    the probe is free; for a heavily derived frame, repartition it
-    yourself and this becomes a no-op."""
+    the probe is free; for a DERIVED frame (joins/unions upstream) pass
+    ``probe=False`` — the repartition then happens unconditionally
+    (compact rows, cheap) instead of pre-executing the upstream plan
+    just to count partitions."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    if not probe:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -374,3 +374,21 @@ def test_tf_idf_topk_ranking_and_ties(spark):
     assert [r["term"] for r in d1] == ["aa", "zz"]
     # every doc emits at most k rows
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_spread_for_explode_modes(spark):
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string").coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    # probe mode: a 1-split frame gets repartitioned up to the core count
+    assert spread_for_explode(df).rdd.getNumPartitions() == target
+    # explicit floor
+    assert spread_for_explode(df, min_parts=3).rdd.getNumPartitions() == 3
+    # probe=False: unconditional repartition (derived-frame safe path)
+    assert spread_for_explode(
+        df, min_parts=5, probe=False
+    ).rdd.getNumPartitions() == 5
+    # already-wide frames pass through untouched in probe mode
+    wide = df.repartition(target + 4)
+    assert spread_for_explode(wide).rdd.getNumPartitions() == target + 4
