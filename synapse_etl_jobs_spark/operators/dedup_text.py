@@ -665,6 +665,12 @@ def minhash_dedup_incremental(
     cross = (
         nb.select(F.col("_id").alias("new_id"), "band", "bucket")
         .join(ix, ["band", "bucket"])
+        # a doc must never match ITS OWN index row: under the unique-id
+        # contract self-pairs cannot occur, but streaming redelivery
+        # (index committed, docs commit lost, batch replayed) legally
+        # presents a batch whose ids are already indexed — without this
+        # filter every redelivered doc would self-verify and be dropped
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id").distinct()
     )
     within_cands = (

@@ -1,0 +1,95 @@
+"""Streaming corpus ingestion with near-dup removal: the LSH index and
+the corpus table advance together, exactly-once, per micro-batch."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+from synapse_etl_jobs_spark.operators.dedup_text import minhash_index
+from synapse_etl_jobs_spark.streaming.dedup_stream import (
+    create_dedup_tables, dedup_stream_into_table,
+)
+
+DOC_SCHEMA = StructType().add("doc_id", "long").add("text", "string")
+LSH = dict(shingle_k=4, num_hashes=32, bands=8)
+
+B1 = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "pack my box with five dozen liquor jugs"),  # in-batch dup of 2
+]
+B2 = [
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of corpus 1
+    (5, "sphinx of black quartz judge my vow tonight"),
+]
+
+
+def _run(spark, tmp_path, docs, index, src_dir, ckpt):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+    dedup_stream_into_table(
+        docs, index, stream, ckpt,
+        threshold=1.0, **LSH,
+    )
+
+
+def test_stream_dedups_within_and_across_batches(spark, tmp_path):
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,
+        num_buckets=4,
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(B1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, docs, index, src, ckpt)
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == [1, 2]
+    # index rows exactly for the survivors, one per band
+    assert index.read().count() == 2 * LSH["bands"]
+
+    spark.createDataFrame(B2, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, docs, index, src, ckpt)
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == [1, 2, 5]
+    assert index.read().count() == 3 * LSH["bands"]
+
+    # exactly-once: re-running with the same checkpoint applies nothing
+    v_docs, v_ix = docs.manifest.table_version, index.manifest.table_version
+    _run(spark, tmp_path, docs, index, src, ckpt)
+    docs2 = LakeTable.load(spark, docs.path)
+    ix2 = LakeTable.load(spark, index.path)
+    assert docs2.manifest.table_version == v_docs
+    assert ix2.manifest.table_version == v_ix
+
+
+def test_crash_window_redelivery_reconverges(spark, tmp_path):
+    """Simulate the index-committed/docs-lost crash: the index already
+    holds the batch's own ids when the batch is (re)delivered as batch 0.
+    Self-pairs must not drop the survivors, the index merge must
+    short-circuit on its marker, and the docs merge must commit the
+    identical survivor set."""
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,
+        num_buckets=4,
+    )
+    batch = spark.createDataFrame(B1, DOC_SCHEMA)
+    # what the lost first attempt committed: index rows for the
+    # SURVIVORS of batch 0 (ids 1 and 2), under the stream's marker
+    survivors = batch.filter(F.col("doc_id") != 3)
+    index.merge(
+        minhash_index(survivors, **LSH).select(
+            "doc_id", "band", "bucket",
+            F.lit("UPSERT").alias("op"), F.lit(0).cast("long").alias("seq"),
+        ),
+        stream_id="dedup", batch_id=0, pre_reduced=True,
+    )
+    v_ix = LakeTable.load(spark, index.path).manifest.table_version
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch.coalesce(1).write.parquet(src)
+    _run(spark, tmp_path, docs, index, src, ckpt)
+
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == [1, 2]
+    ix2 = LakeTable.load(spark, index.path)
+    assert ix2.manifest.table_version == v_ix  # marker short-circuited
+    assert ix2.read().count() == 2 * LSH["bands"]

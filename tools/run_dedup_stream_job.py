@@ -1,0 +1,87 @@
+"""spark-submit entry for STREAMING corpus ingestion with near-dup
+removal: tail a directory of document parquet, deduplicate each
+micro-batch against the committed corpus via the persisted MinHash-LSH
+index (O(batch + candidates) per batch), and MERGE survivors + index
+rows exactly-once (see streaming/dedup_stream.py for the crash-window
+analysis).
+
+    spark-submit --py-files synapse_etl_jobs_spark.zip \
+        tools/run_dedup_stream_job.py \
+        --source /data/docs --docs-table /warehouse/corpus \
+        --index-table /warehouse/corpus_lsh --checkpoint /ckpt/corpus \
+        --threshold 1.0 --bands 16 --num-hashes 64 --shingle-k 5
+
+First run creates both tables from the source schema (columns: doc_id
+long, text string, plus any payload). Re-runs resume from the
+checkpoint; redelivered micro-batches short-circuit on their markers.
+LSH parameters are baked into the index — pass the SAME values for the
+table's whole lifetime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", required=True, help="parquet dir to tail")
+    p.add_argument("--docs-table", required=True)
+    p.add_argument("--index-table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=1.0)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-hashes", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    p.add_argument("--continuous", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming.dedup_stream import (
+        create_dedup_tables, dedup_stream_into_table,
+    )
+
+    spark = SparkSession.builder.appName("dedup-stream").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    sample = spark.read.parquet(args.source)
+    try:
+        docs = LakeTable.load(spark, args.docs_table)
+        index = LakeTable.load(spark, args.index_table)
+    except Exception:
+        docs, index = create_dedup_tables(
+            spark, args.docs_table, args.index_table, sample.schema,
+            id_col=args.id_col, num_buckets=args.buckets,
+            write_mode=args.mode,
+        )
+
+    stream = spark.readStream.schema(sample.schema).parquet(args.source)
+    dedup_stream_into_table(
+        docs, index, stream, args.checkpoint,
+        id_col=args.id_col, text_col=args.text_col,
+        threshold=args.threshold, shingle_k=args.shingle_k,
+        num_hashes=args.num_hashes, bands=args.bands, seed=args.seed,
+        trigger_once=not args.continuous,
+    )
+    docs = LakeTable.load(spark, args.docs_table)
+    print(json.dumps({
+        "docs_table": args.docs_table,
+        "table_version": docs.manifest.table_version,
+        "corpus_rows": docs.read().count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
