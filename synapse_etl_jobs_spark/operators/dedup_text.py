@@ -659,8 +659,15 @@ def minhash_dedup_incremental(
     # ONE signature/banding pass over the batch serves BOTH the index
     # probe and the within-batch self-join (banding is deterministic
     # per document, so candidate pairs among any subset of the batch
-    # are exactly the full-batch pairs filtered to that subset)
-    nb = _band_buckets(new_df, id_col=id_col, text_col=text_col, **lsh)
+    # are exactly the full-batch pairs filtered to that subset).
+    # localCheckpoint (as in connected_components) materializes the
+    # O(batch x bands) bucket rows and TRUNCATES LINEAGE: without it,
+    # every downstream reference re-inlines the banding subtree and the
+    # final plan blows up combinatorially (measured 21k formatted-plan
+    # lines and optimizer-dominated wall time at sf0.1).
+    nb = _band_buckets(
+        new_df, id_col=id_col, text_col=text_col, **lsh
+    ).localCheckpoint()
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     cross = (
         nb.select(F.col("_id").alias("new_id"), "band", "bucket")
@@ -696,11 +703,20 @@ def minhash_dedup_incremental(
     )
 
     # corpus text for candidate ids only; shingle verification runs
-    # ONCE over (batch ∪ candidate corpus docs) for both pair sets
+    # ONCE over (batch ∪ candidate corpus docs) for both pair sets.
+    # The verify digest (per-doc shingle-set sort+sha) is interpreted
+    # HOF work running in ITS input's stage — spread the compact doc
+    # rows first, same reasoning as the signature explodes
+    # (probe=False: `both` is a derived union, don't pre-execute it)
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
     cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
-    both = new_df.select(id_col, text_col).unionByName(
-        cand_corpus.select(id_col, text_col)
+    both = spread_for_explode(
+        new_df.select(id_col, text_col).unionByName(
+            cand_corpus.select(id_col, text_col)
+        ),
+        probe=False,
     )
     if threshold >= 1.0:
         hit = verify_exact_duplicates(
@@ -710,6 +726,10 @@ def minhash_dedup_incremental(
         hit = ngram_jaccard_pairs(
             both, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k
         ).filter(F.col("jaccard") >= threshold).drop("jaccard")
+    # second lineage cut: `hit` (candidate pairs, tiny) feeds three
+    # branches below — without the checkpoint each would re-run the
+    # whole verify and re-inline its plan
+    hit = hit.localCheckpoint()
 
     corpus_dup = (
         hit.filter(F.col("_cross"))

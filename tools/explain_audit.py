@@ -106,6 +106,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # window stay JVM-side with no cartesian anywhere
     ("tf_idf_topk", ["partial_count", "HashAggregate"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # incremental LSH dedup: batch-vs-index probe is an equi-join; corpus
+    # text enters only via semijoin on candidate ids; never a cartesian
+    ("minhash_dedup_incremental", ["HashAggregate", "LeftSemi"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # repeated spans: corpus-wide shingle count aggregates map-side
+    # (partial_count before the exchange); the island merge is a window
+    # PARTITIONED per doc_id (parallelism = docs), never a global window
+    ("repeated_spans",
+     ["partial_count", "HashAggregate", "windowspecdefinition(doc_id"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
