@@ -10,6 +10,7 @@ fingerprints, LSH-ANN) are exposed without oracles → rows-only checks.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -2225,6 +2226,44 @@ def q_duplication_stats(spark, sf_dir) -> DataFrame:
     return duplication_stats(aug, k=6, min_count=2, token_hash=md5_hash48)
 
 
+def q_dedup_stream_state(spark, sf_dir) -> DataFrame:
+    """The STREAMING dedup-ingest path end to end: documents (plus
+    verbatim copies at +10M) arrive as a 2-file Structured-Streaming
+    source, each micro-batch is near-dup-removed against the persisted
+    LSH index and MERGEd exactly-once (streaming/dedup_stream.py), and
+    the final corpus table is returned. At threshold 1.0 shingle-set
+    equality is transitive, so the final state is batch-split-invariant:
+    the global min-id equal-shingle-set anti-join the oracle computes."""
+    from synapse_etl_jobs_spark.streaming.dedup_stream import (
+        create_dedup_tables, dedup_stream_into_table,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    aug = _augmented_documents(spark, sf_dir)
+    base = _tmpdir("dedup_stream_entry_")
+    src = os.path.join(base, "src")
+    # two micro-batch files in id order: originals, then the copies
+    # (maxFilesPerTrigger=1 → the cross-batch path is what's exercised)
+    d.coalesce(1).write.parquet(src)
+    aug.filter(F.col("doc_id") >= 10_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs, index = create_dedup_tables(
+        spark, os.path.join(base, "docs"), os.path.join(base, "ix"),
+        d.schema, num_buckets=8,
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup_stream_into_table(
+        docs, index, stream, os.path.join(base, "ckpt"),
+        threshold=1.0, shingle_k=5, num_hashes=32, bands=8,
+    )
+    return docs.read().select("doc_id", "lang", "n_chars")
+
+
 def q_ann_ivf_full(spark, sf_dir) -> DataFrame:
     """IVF-flat ANN with n_probe == n_cells — degenerates to exact
     search, so the brute-force SQL oracle gates the whole IVF plumbing
@@ -2383,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "repeated_spans": q_repeated_spans,
         "duplication_stats": q_duplication_stats,
+        "dedup_stream_state": q_dedup_stream_state,
         "catalog_pushdown_scan": q_catalog_pushdown_scan,
         "sql_insert_envelope": q_sql_insert_envelope,
         "node_snapshots_job": q_node_snapshots_job,
@@ -3172,6 +3212,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_incremental": _MINHASH_INCREMENTAL_ORACLE,
         "repeated_spans": _REPEATED_SPANS_ORACLE,
         "duplication_stats": _DUPLICATION_STATS_ORACLE,
+        # the streaming path must land the SAME final state as one-shot
+        # dedup over the union — equal-shingle-set min-id anti-join
+        "dedup_stream_state": _MINHASH_DEDUP_ORACLE,
         "simhash": f"""
             WITH {_simhash_sig_cte(48)}
             SELECT doc_id, simhash FROM sig
