@@ -759,6 +759,32 @@ _EMB_AUG = """
   SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label FROM embeddings
 """
 
+_EMB_INCREMENTAL_ORACLE = """
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 <> 0
+), newb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label
+  FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 6 = 1
+  UNION ALL
+  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]), label
+  FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 6 = 0
+)
+SELECT a.vec_id, a.label FROM newb a
+WHERE NOT EXISTS (
+  SELECT 1 FROM corp c
+  WHERE round(list_cosine_similarity(c.v, a.v), 6) >= 0.99
+)
+AND NOT EXISTS (
+  SELECT 1 FROM newb o
+  WHERE o.vec_id < a.vec_id
+    AND round(list_cosine_similarity(o.v, a.v), 6) >= 0.99
+)
+"""
+
 _EMB_DEDUP_ORACLE = f"""
 WITH aug AS ({_EMB_AUG})
 SELECT a.vec_id, a.label FROM aug a
@@ -768,6 +794,44 @@ WHERE NOT EXISTS (
     AND round(list_cosine_similarity(o.v, a.v), 6) >= 0.99
 )
 """
+
+
+def q_embedding_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental embedding near-dup removal: a new batch probed
+    against the persisted RP-LSH index of an existing corpus (corpus
+    vectors touched only for candidate ids). Batch = the vec_id%3==0
+    slice plus exact copies of corpus vectors (+1M, dropped as corpus
+    dups) and copies of batch vectors (+2M, dropped in-batch). At
+    threshold 0.99 the only qualifying pairs on this data are exact
+    copies, which collide in every signature table — recall 1.0, so the
+    exact-cosine SQL anti-join is the oracle."""
+    from synapse_etl_jobs_spark.operators.similarity import (
+        embedding_dedup_incremental, rp_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = e.filter(F.col("vec_id") % 3 != 0)
+    base_new = e.filter(F.col("vec_id") % 3 == 0)
+    new = (
+        base_new
+        .unionByName(
+            corpus.filter(F.col("vec_id") % 6 == 1).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+        .unionByName(
+            base_new.filter(F.col("vec_id") % 6 == 0).select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+    )
+    lsh = dict(bits=10, tables=4)
+    ix = rp_index(corpus, **lsh)
+    return embedding_dedup_incremental(
+        new, corpus, index=ix, threshold=0.99, **lsh
+    ).select("vec_id", "label")
 
 
 def q_embedding_quantize(spark, sf_dir) -> DataFrame:
@@ -2385,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "embedding_dedup_incremental": q_embedding_dedup_incremental,
         "client_detection": q_client_detection,
         "client_version": q_client_version,
         "url_decode": q_url_decode,
@@ -3126,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dedup": _EMB_DEDUP_ORACLE,
         "embedding_dedup_lsh": _EMB_DEDUP_ORACLE,
+        "embedding_dedup_incremental": _EMB_INCREMENTAL_ORACLE,
         "client_detection": f"""
             SELECT c_custkey, {_ua_case_sql(0)} AS user_agent,
                    {_ua_case_sql(1)} AS client

@@ -505,3 +505,103 @@ def dedup_embedding(
         threshold=threshold, method=method, **lsh_kwargs,
     )
     return keep_min_representative(corpus, pairs, id_col)
+
+
+# --------------------------------------------------------- incremental index
+#
+# Embedding twin of dedup_text's incremental MinHash index: the corpus'
+# random-hyperplane signatures are PERSISTED once ((id, table, sig) —
+# `tables` tiny rows per vector); each new batch is signed in O(batch),
+# probed against the index, and verified with exact cosine against the
+# candidate corpus vectors only (fetched by semijoin on candidate ids).
+
+
+def rp_index(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable RP-LSH index rows ``(id_col, table, sig)`` for a
+    corpus — exactly ``rp_signatures`` output, named as the durable
+    artifact. Probes MUST use the same (bits, tables, seed)."""
+    return rp_signatures(
+        df, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables, seed=seed
+    )
+
+
+def rp_index_probe(
+    new_df: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id) pairs between a new batch and an
+    indexed corpus: sign the batch only, equi-join on (table, sig).
+    Self-pairs are excluded (streaming redelivery can legally present a
+    batch whose ids are already indexed — see dedup_text's cross probe)."""
+    nb = rp_signatures(
+        new_df, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables, seed=seed
+    ).select(F.col(id_col).alias("new_id"), "table", "sig")
+    ix = index.select(F.col(id_col).alias("corpus_id"), "table", "sig")
+    return (
+        nb.join(ix, ["table", "sig"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def embedding_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of ``new_df`` that survive cosine near-dup removal against
+    an already-deduped corpus and within the batch itself. Corpus
+    vectors are touched only for candidate ids; a new vector is dropped
+    when exact cosine ≥ ``threshold`` against any candidate corpus
+    vector or a surviving smaller-id batch vector (single-round star
+    contraction, same policy as ``dedup_embedding``). ids must be
+    unique across corpus ∪ batch."""
+    from synapse_etl_jobs_spark.operators.dedup_text import keep_min_representative
+
+    lsh = dict(bits=bits, tables=tables, seed=seed)
+    if index is None:
+        index = rp_index(corpus_df, id_col=id_col, vec_col=vec_col, **lsh)
+    cross = rp_index_probe(
+        new_df, index, id_col=id_col, vec_col=vec_col, **lsh
+    ).localCheckpoint()
+
+    cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
+    cand_vecs = corpus_df.join(cand_ids, on=id_col, how="leftsemi").select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    )
+    nv = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv"))
+    corpus_dup = (
+        cross.join(nv, "new_id").join(cand_vecs, "corpus_id")
+        .filter(F.round(cosine(F.col("_nv"), F.col("_cv")), 6) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
+
+    within = embedding_neardup_pairs(
+        survivors, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        method="lsh", **lsh,
+    )
+    return keep_min_representative(survivors, within, id_col)
