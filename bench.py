@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "minhash_dedup_incremental",
     "repeated_spans",
     "duplication_stats",
+    "embedding_dedup_incremental",
+    "dedup_stream_state",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)
