@@ -2296,8 +2296,11 @@ def q_dedup_stream_state(spark, sf_dir) -> DataFrame:
     source, each micro-batch is near-dup-removed against the persisted
     LSH index and MERGEd exactly-once (streaming/dedup_stream.py), and
     the final corpus table is returned. At threshold 1.0 shingle-set
-    equality is transitive, so the final state is batch-split-invariant:
-    the global min-id equal-shingle-set anti-join the oracle computes."""
+    equality is transitive, so the surviving TEXT set is
+    batch-split-invariant; with originals forced into the FIRST batch
+    (explicit mtimes below) the surviving IDS are the global min-id
+    representatives — the equal-shingle-set anti-join the oracle
+    computes."""
     from synapse_etl_jobs_spark.streaming.dedup_stream import (
         create_dedup_tables, dedup_stream_into_table,
     )
@@ -2307,8 +2310,18 @@ def q_dedup_stream_state(spark, sf_dir) -> DataFrame:
     base = _tmpdir("dedup_stream_entry_")
     src = os.path.join(base, "src")
     # two micro-batch files in id order: originals, then the copies
-    # (maxFilesPerTrigger=1 → the cross-batch path is what's exercised)
+    # (maxFilesPerTrigger=1 → the cross-batch path is what's exercised).
+    # The FileStreamSource orders batches by mtime — force distinct
+    # mtimes so back-to-back writes can't tie and flip the batch order
+    # (corpus-always-wins makes survivor IDS depend on it; only the
+    # surviving TEXT set is split-invariant)
+    import glob
+    import time as _time
+
     d.coalesce(1).write.parquet(src)
+    now = _time.time()
+    for fp in glob.glob(os.path.join(src, "*.parquet")):
+        os.utime(fp, (now - 100, now - 100))
     aug.filter(F.col("doc_id") >= 10_000_000).coalesce(1).write.mode(
         "append"
     ).parquet(src)

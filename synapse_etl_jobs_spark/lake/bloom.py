@@ -64,8 +64,6 @@ def compute_file_blooms(
     if not files or bits <= 0:
         return {}
     n_words = (bits + 63) // 64
-    from urllib.parse import unquote, urlparse
-
     rows = (
         spark.read.parquet(*files)
         .select(F.input_file_name().alias("_f"), *key_cols)
@@ -81,7 +79,8 @@ def compute_file_blooms(
     )
     # key results by the CALLER's path spelling (manifest entries may be
     # URIs — input_file_name normalizes differently per scheme)
-    norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
+    from synapse_etl_jobs_spark.lake.fs import uri_norm as norm
+
     by_norm = {norm(fp): fp for fp in files}
     words: dict[str, list[int]] = {}
     for r in rows:

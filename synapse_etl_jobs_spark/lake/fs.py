@@ -23,6 +23,19 @@ import os
 import uuid
 
 
+def uri_norm(p: str) -> str:
+    """Scheme-less absolute path for matching Spark's
+    ``input_file_name()`` output against manifest/caller path spellings
+    (Spark may render ``file:///x`` where the manifest says ``file:/x``
+    or a bare ``/x``). Percent-encoding is unquoted; the authority is
+    dropped (hosted ``file://host/x`` URIs are not produced by this
+    engine). Shared by the footer-stats, column-stats, and bloom
+    matching sites — they MUST agree on which files matched."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(p).path)
+
+
 def filesystem_for(path: str, spark=None):
     """Pick the FS implementation from the path scheme: URIs go through
     Hadoop (requires ``spark``), bare paths through POSIX."""
@@ -105,6 +118,7 @@ class HadoopFS:
 
     def __init__(self, spark):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _path(self, p: str):
@@ -122,15 +136,30 @@ class HadoopFS:
             out.hflush()
         finally:
             out.close()
-        # atomic on HDFS/POSIX; S3 deployments override with a catalog CAS
+        # clobbering rename must be ATOMIC (the CURRENT pointer swap is
+        # the commit): FileContext.rename(OVERWRITE) is the atomic HDFS
+        # primitive — FileSystem.rename refuses to clobber there, and a
+        # delete-then-rename fallback would open a crash window with NO
+        # pointer file at all. S3 deployments still override with a
+        # catalog CAS (rename is never atomic on object stores).
+        try:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(Rename, 1)  # java varargs
+            opts[0] = Rename.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._path(path).toUri(), self._conf
+            )
+            fc.rename(self._path(tmp), self._path(path), opts)
+            return
+        except Exception:
+            # FS without FileContext support (rare third-party impls):
+            # last resort is delete+rename — NOT crash-atomic; the
+            # optimistic-concurrency check upstream still prevents
+            # concurrent-writer clobbering
+            pass
+        fs.delete(self._path(path), False)
         if not fs.rename(self._path(tmp), self._path(path)):
-            # Hadoop rename refuses to clobber on some FS — replicate
-            # os.replace semantics (delete-then-rename; the manifest
-            # protocol never renames onto a live pointer concurrently
-            # thanks to the optimistic-concurrency check upstream)
-            fs.delete(self._path(path), False)
-            if not fs.rename(self._path(tmp), self._path(path)):
-                raise IOError(f"rename {tmp} -> {path} failed")
+            raise IOError(f"rename {tmp} -> {path} failed")
 
     def read_text(self, path: str) -> str:
         fs = self._fs(path)

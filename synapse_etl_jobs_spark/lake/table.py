@@ -142,9 +142,8 @@ def _footer_stats_spark_job(
 ) -> dict[str, dict[str, Any]]:
     """FS-agnostic per-file stats: one scan grouped by input file. Byte
     sizes come from the FS listing (driver-side metadata calls)."""
-    from urllib.parse import unquote, urlparse
+    from synapse_etl_jobs_spark.lake.fs import uri_norm as norm
 
-    norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
     by_norm = {norm(fp): fp for fp in files}
     df = spark.read.parquet(*files)
     aggs = [F.count(F.lit(1)).alias("rows")]
@@ -222,9 +221,8 @@ def _file_column_stats(
     locs = {fp: fs.pyarrow_path(fp) for fp in files}
     if any(loc is None for loc in locs.values()):
         # remote storage: one grouped scan instead of footer parses
-        from urllib.parse import unquote, urlparse
+        from synapse_etl_jobs_spark.lake.fs import uri_norm as norm
 
-        norm = lambda p: unquote(urlparse(p).path)  # noqa: E731
         by_norm = {norm(fp): fp for fp in files}
         df = spark.read.parquet(*files)
         present = [c for c in cols if c in df.columns]

@@ -619,7 +619,14 @@ def minhash_index_probe(
         num_hashes=num_hashes, bands=bands, seed=seed,
     ).select(F.col("_id").alias("new_id"), "band", "bucket")
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
-    return nb.join(ix, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+    return (
+        nb.join(ix, ["band", "bucket"])
+        # self-pairs excluded, matching rp_index_probe: a redelivered
+        # streaming batch legally finds its own ids in the index
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
 
 
 def minhash_dedup_incremental(

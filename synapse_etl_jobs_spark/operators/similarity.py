@@ -598,7 +598,14 @@ def embedding_dedup_incremental(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
-    survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
+    # lineage cut before the within pass: rp_signatures' partition
+    # probe (df.rdd) would otherwise finalize AQE on the derived
+    # survivors frame and EXECUTE the whole cross-corpus verification a
+    # second time just to count partitions (same reasoning as the
+    # minhash twin's checkpointed `hit`)
+    survivors = new_df.join(
+        corpus_dup, on=id_col, how="left_anti"
+    ).localCheckpoint()
 
     within = embedding_neardup_pairs(
         survivors, id_col=id_col, vec_col=vec_col, threshold=threshold,

@@ -13,11 +13,12 @@ Structured Streaming becomes exactly-once corpus AND index state.
 Crash-window analysis (the reason for the commit ORDER below):
 
 - index commit ✓, docs commit ✗, batch redelivered: the batch's ids
-  are already indexed. ``minhash_dedup_incremental`` excludes
-  self-pairs (new_id == corpus_id), so survivors re-survive; docs
-  dropped in the first attempt re-drop (their duplicate partners are
-  either in the corpus or among the indexed survivors). The docs merge
-  then commits the identical survivor set — reconverged.
+  are already indexed. The batch handler EXCLUDES its own ids from the
+  index view before probing (and the probe additionally excludes
+  self-pairs), so the replay sees exactly the first attempt's index
+  state and recomputes the identical survivor set at ANY threshold;
+  the index merge short-circuits on its marker, the docs merge then
+  commits — reconverged.
 - docs commit before index (the WRONG order) would strand the corpus
   with documents the index never learns about: every future batch
   could ship a duplicate of them undetected. Index first is safe,
@@ -108,10 +109,29 @@ def dedup_stream_into_table(
                bands=bands, seed=seed)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if docs_table.is_batch_applied(stream_id, batch_id):
-            return  # both commits landed — full no-op on redelivery
+        # no-op only when BOTH commits landed: keying on the docs
+        # marker alone would leave a rebuilt or lagging index empty
+        # forever (docs marker present → batch skipped → index rows
+        # never re-derived), silently disabling dedup for those docs
+        if docs_table.is_batch_applied(
+            stream_id, batch_id
+        ) and index_table.is_batch_applied(stream_id, batch_id):
+            return
         corpus = docs_table.read()
-        index = index_table.read().select(id_col, "band", "bucket")
+        # exclude the batch's OWN ids from the index view: after the
+        # index-committed/docs-lost crash, the redelivered batch's ids
+        # are already indexed — probing against them would change which
+        # batch docs drop at thresholds < 1.0 (a doc whose only partner
+        # was a NON-survivor could otherwise cross-match a ghost index
+        # row and diverge from the first attempt). With the exclusion
+        # the replay sees exactly the first attempt's index state, so
+        # the survivor set recomputes identically at ANY threshold.
+        index = index_table.read().select(id_col, "band", "bucket").join(
+            batch_df.select(id_col), id_col, "left_anti"
+        )
+        # NOT pre_reduced: a batch may legally carry the same id twice
+        # (at-least-once upstream producers); merge's LWW reduction
+        # resolves equal-seq ties deterministically by payload order
         kept = minhash_dedup_incremental(
             batch_df, corpus, index=index,
             id_col=id_col, text_col=text_col, threshold=threshold, **lsh,
@@ -126,7 +146,7 @@ def dedup_stream_into_table(
                     F.lit("UPSERT").alias("op"),
                     F.lit(batch_id).cast("long").alias("seq"),
                 ),
-                stream_id=stream_id, batch_id=batch_id, pre_reduced=True,
+                stream_id=stream_id, batch_id=batch_id,
             )
             docs_table.merge(
                 kept.select(
@@ -134,7 +154,7 @@ def dedup_stream_into_table(
                     F.lit("UPSERT").alias("op"),
                     F.lit(batch_id).cast("long").alias("seq"),
                 ),
-                stream_id=stream_id, batch_id=batch_id, pre_reduced=True,
+                stream_id=stream_id, batch_id=batch_id,
             )
         finally:
             kept.unpersist()

@@ -93,3 +93,106 @@ def test_crash_window_redelivery_reconverges(spark, tmp_path):
     ix2 = LakeTable.load(spark, index.path)
     assert ix2.manifest.table_version == v_ix  # marker short-circuited
     assert ix2.read().count() == 2 * LSH["bands"]
+
+
+def test_crash_window_redelivery_sub_one_threshold(spark, tmp_path):
+    """threshold < 1.0 chain case (A~B, B~C, C!~A): after the
+    index-committed/docs-lost crash, the handler excludes the batch's
+    own ids from the index view, so the replay recomputes the FIRST
+    attempt's survivor set instead of diverging via ghost index rows."""
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_dedup_incremental,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = "alpha beta gamma delta epsilon zeta eta theta lambda mu"  # ~A
+    C = "nu xi gamma delta epsilon zeta eta theta lambda mu"       # ~B, !~A
+    batch = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+    lsh = dict(shingle_k=4, num_hashes=32, bands=16)
+    thr = 0.62  # sits between sim(A,C) and min(sim(A,B), sim(B,C))
+
+    # sanity: the chain shape holds at this threshold
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+    sims = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            batch, minhash_lsh_candidates(batch, **lsh), k=4
+        ).collect()
+    }
+    assert sims[(1, 2)] >= thr and sims[(2, 3)] >= thr
+    assert sims.get((1, 3), 0.0) < thr
+
+    # first attempt's survivor set (empty corpus): star contraction
+    # drops both B and C via A and B respectively... B drops via A;
+    # C's partner B is dropped, so C SURVIVES star contraction only if
+    # B is not a survivor — pin whatever the operator computes
+    empty = batch.filter("doc_id < 0")
+    first = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_incremental(
+            batch, empty, threshold=thr, **lsh
+        ).collect()
+    )
+
+    # crash state: survivors' index rows committed under batch 0
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"),
+        batch.schema, num_buckets=4,
+    )
+    from synapse_etl_jobs_spark.operators.dedup_text import minhash_index
+    surv_df = batch.join(
+        spark.createDataFrame([(i,) for i in first], "doc_id long"),
+        "doc_id", "leftsemi",
+    )
+    index.merge(
+        minhash_index(surv_df, **lsh).select(
+            "doc_id", "band", "bucket",
+            F.lit("UPSERT").alias("op"), F.lit(0).cast("long").alias("seq"),
+        ),
+        stream_id="dedup", batch_id=0,
+    )
+
+    # redelivery as stream batch 0
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    dedup_stream_into_table(
+        docs, index, stream, str(tmp_path / "ckpt"), threshold=thr, **lsh
+    )
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == first
+    # index holds exactly the first attempt's survivors
+    assert sorted(
+        {r["doc_id"] for r in index.read().collect()}
+    ) == first
+
+
+def test_index_rebuild_recovers_from_docs_marker(spark, tmp_path):
+    """Inverse window: docs committed, index lost/rebuilt empty. The
+    batch guard keys on BOTH markers, so redelivery re-derives the
+    index rows while the docs merge short-circuits."""
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,
+        num_buckets=4,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(B1, DOC_SCHEMA).coalesce(1).write.parquet(src)
+    _run(spark, tmp_path, docs, index, src, str(tmp_path / "ckpt1"))
+    assert index.read().count() == 2 * LSH["bands"]
+
+    # lose the index table entirely; fresh checkpoint redelivers batch 0
+    import shutil
+
+    shutil.rmtree(index.path)
+    docs2, index2 = LakeTable.load(spark, docs.path), None
+    index2 = create_dedup_tables(
+        spark, str(tmp_path / "docs_unused"), str(tmp_path / "ix"),
+        DOC_SCHEMA, num_buckets=4,
+    )[1]
+    v_docs = docs2.manifest.table_version
+    _run(spark, tmp_path, docs2, index2, src, str(tmp_path / "ckpt2"))
+    assert LakeTable.load(spark, docs.path).manifest.table_version == v_docs
+    assert index2.read().count() == 2 * LSH["bands"]

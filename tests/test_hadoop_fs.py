@@ -49,7 +49,8 @@ def test_hadoopfs_primitives(spark):
     fs.write_text_atomic(root + "/d/b.parquet", "x")
     files = fs.list_files(root, ".parquet")
     assert [os.path.basename(p) for p, _ in files] == ["b.parquet"]
-    assert fs.list_dirs(root) == [d for d in fs.list_dirs(root)]  # stable
+    dirs = fs.list_dirs(root)
+    assert dirs == sorted(dirs) and dirs == [root + "/d"]
     fs.delete(root + "/d")
     assert not fs.exists(root + "/d")
     # pyarrow path strips the file: scheme, refuses remote schemes

@@ -50,31 +50,59 @@ def main() -> None:
 
     from synapse_etl_jobs_spark.lake import LakeTable
     from synapse_etl_jobs_spark.streaming.dedup_stream import (
-        create_dedup_tables, dedup_stream_into_table,
+        dedup_stream_into_table,
     )
 
     spark = SparkSession.builder.appName("dedup-stream").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     sample = spark.read.parquet(args.source)
-    try:
-        docs = LakeTable.load(spark, args.docs_table)
-        index = LakeTable.load(spark, args.index_table)
-    except Exception:
-        docs, index = create_dedup_tables(
-            spark, args.docs_table, args.index_table, sample.schema,
-            id_col=args.id_col, num_buckets=args.buckets,
-            write_mode=args.mode,
-        )
+    # load-or-create each table INDIVIDUALLY: a crash between the two
+    # creates must not brick the job (and a genuinely corrupt manifest
+    # must surface, not be silently re-created over)
+    from synapse_etl_jobs_spark.lake.fs import filesystem_for
+
+    def load_or_create(path, maker):
+        fs = filesystem_for(path, spark)
+        if fs.exists(os.path.join(path, "_manifests")):
+            return LakeTable.load(spark, path)
+        return maker()
+
+    from pyspark.sql.types import StructType
+
+    ix_schema = (
+        StructType()
+        .add(args.id_col, sample.schema[args.id_col].dataType)
+        .add("band", "integer")
+        .add("bucket", "long")
+    )
+    docs = load_or_create(
+        args.docs_table,
+        lambda: LakeTable.create(
+            spark, args.docs_table, sample.schema, [args.id_col],
+            num_buckets=args.buckets, write_mode=args.mode,
+        ),
+    )
+    index = load_or_create(
+        args.index_table,
+        lambda: LakeTable.create(
+            spark, args.index_table, ix_schema, [args.id_col, "band"],
+            num_buckets=args.buckets, write_mode=args.mode,
+        ),
+    )
 
     stream = spark.readStream.schema(sample.schema).parquet(args.source)
-    dedup_stream_into_table(
+    query = dedup_stream_into_table(
         docs, index, stream, args.checkpoint,
         id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, shingle_k=args.shingle_k,
         num_hashes=args.num_hashes, bands=args.bands, seed=args.seed,
         trigger_once=not args.continuous,
     )
+    if args.continuous:
+        # keep the process alive: returning here would tear down the
+        # JVM and kill the "continuous" stream within milliseconds
+        query.awaitTermination()
     docs = LakeTable.load(spark, args.docs_table)
     print(json.dumps({
         "docs_table": args.docs_table,
