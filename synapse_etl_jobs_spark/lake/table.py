@@ -5,16 +5,23 @@ Format (public design: Delta Lake VLDB'20 paper / Apache Iceberg spec):
 ::
 
     <root>/
-      _manifests/v000000000001.json   immutable per-version metadata
+      _manifests/v000000000001.json   immutable per-version ROOT metadata
+      _manifests/buckets/b<bucket>-v<version>.json   per-bucket file lists
       _manifests/CURRENT              pointer file, atomically replaced
       _lineage/*.parquet              per-partition lineage/metrics rows
       data/c<version>-<uuid>/_bucket=<i>/part-*.parquet   immutable data
 
-Manifest contents: current schema, key/bucket spec, per-bucket file lists
-(each file tagged with the schema epoch it was written under), applied
-batch markers (exactly-once), and a per-epoch rename map so renamed
-columns are resolved at read time without rewriting data (Iceberg-style
-name mapping).
+Root manifest contents: current schema, key/bucket spec, applied batch
+markers (exactly-once; bounded by the ``marker_retention_versions``
+prop), a per-epoch rename map so renamed columns are resolved at read
+time without rewriting data (Iceberg-style name mapping), and per-bucket
+REFERENCES to immutable side files holding each bucket's file list
+(each file tagged with the schema epoch it was written under). The side
+files are the Iceberg manifest-list analog: a commit rewrites only the
+side files of buckets it touched and reuses the rest by reference, so
+commit cost is O(touched buckets) and the root stays O(num_buckets) at
+any table size. Legacy inline manifests (buckets embedded in the root)
+remain readable and re-shard on their next commit.
 
 Concurrency: single-writer (the replay driver); readers are isolated by
 the pointer swap. Iceberg gets multi-writer safety from an optimistic
@@ -282,13 +289,41 @@ class Manifest:
     applied_batches: dict[str, dict[str, Any]]
     parent_version: int | None = None
     props: dict[str, Any] = field(default_factory=dict)
+    # bucket id (str) -> side-file name under _manifests/buckets/ — the
+    # Iceberg manifest-LIST analog: the root version file stores only
+    # these references; per-bucket file lists live in immutable side
+    # files, reused verbatim for buckets a commit does not touch, so
+    # commit cost is O(touched buckets) and the root stays O(num_buckets)
+    # no matter how many data files the table accumulates. Populated by
+    # the loader / committer; {} on legacy inline manifests until their
+    # next commit re-shards them.
+    bucket_refs: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+        """Legacy INLINE serialization (file lists embedded) — kept for
+        tooling/tests; the commit path writes ``root_json`` + side files."""
+        d = dict(self.__dict__)
+        d.pop("bucket_refs", None)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    def root_json(self) -> str:
+        """Sharded root: everything but the per-bucket file lists, which
+        are referenced by name via ``bucket_refs``."""
+        d = dict(self.__dict__)
+        d.pop("buckets", None)
+        return json.dumps(d, indent=1, sort_keys=True)
 
     @staticmethod
     def from_json(text: str) -> "Manifest":
-        return Manifest(**json.loads(text))
+        """Parse an INLINE manifest (legacy format). Sharded roots must go
+        through ``LakeTable._read_manifest`` (side files need the FS)."""
+        d = json.loads(text)
+        if "buckets" not in d:
+            raise ValueError(
+                "sharded manifest root (bucket_refs, no inline buckets): "
+                "load it via LakeTable._read_manifest / LakeTable.load"
+            )
+        return Manifest(**d)
 
     def current_schema(self) -> StructType:
         return StructType.fromJson(self.schemas[str(self.current_schema_id)]["schema"])
@@ -326,6 +361,7 @@ class LakeTable:
         point_index_bits: int | None = None,
         stats_cols: Sequence[str] | None = None,
         auto_compact_min_deltas: int | None = None,
+        marker_retention_versions: int | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the logical user schema
         (keys + payload; no internal columns). ``bucket_cols`` defaults to
@@ -356,6 +392,16 @@ class LakeTable:
         ``compact(zorder_cols=...)`` rewrite. Free-ish: the footers are
         already parsed for lineage; this reads a few more column chunks'
         metadata, never data pages.
+
+        ``marker_retention_versions`` (opt-in): drop applied-batch
+        markers recorded more than that many table versions ago at every
+        commit, bounding manifest marker history under sustained ingest
+        (10^10 events = millions of batches otherwise). Sound because
+        merges are idempotent WITHOUT markers — LWW on seq makes a stale
+        batch replay a no-op on final state; the marker is a fast-path
+        skip. Size retention above the longest possible redelivery
+        window (streaming checkpoints redeliver at most the in-flight
+        batch, so even small values are safe there).
 
         ``auto_compact_min_deltas`` (opt-in, merge-on-read tables): after
         a merge commit, any affected bucket holding at least that many
@@ -395,6 +441,8 @@ class LakeTable:
                 **({"stats_cols": list(stats_cols)} if stats_cols else {}),
                 **({"auto_compact_min_deltas": int(auto_compact_min_deltas)}
                    if auto_compact_min_deltas else {}),
+                **({"marker_retention_versions": int(marker_retention_versions)}
+                   if marker_retention_versions else {}),
             },
         )
         cls._commit_manifest(path, m, fs)
@@ -406,6 +454,13 @@ class LakeTable:
         mdir = cls._manifest_dir(path)
         if version is None:
             version = int(fs.read_text(os.path.join(mdir, "CURRENT")).strip())
+        return cls(spark, path, cls._read_manifest(path, version, fs))
+
+    @classmethod
+    def _read_manifest(cls, path: str, version: int, fs) -> Manifest:
+        """Load a manifest version, resolving sharded per-bucket side
+        files (and accepting legacy inline manifests unchanged)."""
+        mdir = cls._manifest_dir(path)
         mpath = os.path.join(mdir, f"v{version:012d}.json")
         if not fs.exists(mpath):
             raise ValueError(
@@ -413,19 +468,47 @@ class LakeTable:
                 "either it was never committed or vacuum() expired it "
                 "(time travel only reaches retained versions)"
             )
-        return cls(spark, path, Manifest.from_json(fs.read_text(mpath)))
+        d = json.loads(fs.read_text(mpath))
+        if "buckets" not in d:
+            bdir = os.path.join(mdir, "buckets")
+            d["buckets"] = {
+                b: json.loads(fs.read_text(os.path.join(bdir, ref)))
+                for b, ref in d.get("bucket_refs", {}).items()
+            }
+        return Manifest(**d)
 
     @classmethod
-    def _commit_manifest(cls, path: str, m: Manifest, fs) -> None:
-        """Commit = write the immutable version file, then swap CURRENT —
-        guarded by an optimistic compare-and-set: if CURRENT no longer
-        points at this commit's parent, another writer won the race and
-        this commit must abort instead of silently clobbering their
-        manifest chain (lost update). This is exactly the check an
-        Iceberg catalog performs server-side; the local-FS version is
-        best-effort (check-then-replace is not atomic across processes)
-        but turns the documented single-writer ASSUMPTION into an
-        enforced invariant with a clear error."""
+    def _commit_manifest(
+        cls, path: str, m: Manifest, fs, ref_source: "Manifest | None" = None
+    ) -> None:
+        """Commit = write the per-bucket side files this commit CHANGED,
+        then the root version file, then swap CURRENT — guarded by an
+        optimistic compare-and-set: if CURRENT no longer points at this
+        commit's parent, another writer won the race and this commit must
+        abort instead of silently clobbering their manifest chain (lost
+        update). This is exactly the check an Iceberg catalog performs
+        server-side; the local-FS version is best-effort (check-then-
+        replace is not atomic across processes) but turns the documented
+        single-writer ASSUMPTION into an enforced invariant with a clear
+        error.
+
+        Sharding (Iceberg manifest-list analog): ``ref_source`` is the
+        manifest this commit derived its ``buckets`` dict from; any
+        bucket whose entry list is the SAME OBJECT as the source's
+        (i.e. untouched by this commit) reuses the source's immutable
+        side file by reference — zero reserialization, so commit cost is
+        O(touched buckets) + one O(num_buckets) root write, never
+        O(table files). Interrupted commits leave only unreferenced side
+        files (the root swap is last); vacuum reclaims them.
+
+        Marker compaction: with table prop ``marker_retention_versions``
+        set, applied-batch markers recorded more than that many table
+        versions ago are dropped from the new manifest. Sound because
+        merges are idempotent WITHOUT the marker — LWW on seq makes
+        re-applying a stale batch a no-op on final state (tombstones
+        carry newer seqs); the marker is a fast-path skip and a
+        bounded-size one with retention, instead of growing per batch
+        forever across 10^10-event streams."""
         mdir = cls._manifest_dir(path)
         cur_path = os.path.join(mdir, "CURRENT")
         if m.parent_version is not None and fs.exists(cur_path):
@@ -436,8 +519,36 @@ class LakeTable:
                     f"{m.parent_version} but found {cur}: another writer "
                     "committed concurrently; reload the table and retry"
                 )
+        retention = m.props.get("marker_retention_versions")
+        if retention:
+            low_water = m.table_version - int(retention)
+            m.applied_batches = {
+                stream: kept
+                for stream, markers in m.applied_batches.items()
+                if (kept := {
+                    bid: info for bid, info in markers.items()
+                    if int(info.get("table_version", m.table_version)) > low_water
+                })
+            }
+        src_refs = ref_source.bucket_refs if ref_source is not None else {}
+        src_buckets = ref_source.buckets if ref_source is not None else {}
+        bdir = os.path.join(mdir, "buckets")
+        refs: dict[str, str] = {}
+        wrote_side = False
+        for b, entries in m.buckets.items():
+            prev_ref = src_refs.get(b)
+            if prev_ref is not None and entries is src_buckets.get(b):
+                refs[b] = prev_ref  # untouched bucket: reuse by reference
+                continue
+            if not wrote_side:
+                fs.mkdirs(bdir, exist_ok=True)
+                wrote_side = True
+            ref = f"b{int(b):06d}-v{m.table_version:012d}.json"
+            fs.write_text_atomic(os.path.join(bdir, ref), json.dumps(entries))
+            refs[b] = ref
+        m.bucket_refs = refs
         mpath = os.path.join(mdir, f"v{m.table_version:012d}.json")
-        fs.write_text_atomic(mpath, m.to_json())
+        fs.write_text_atomic(mpath, m.root_json())
         fs.write_text_atomic(cur_path, str(m.table_version))
 
     # ------------------------------------------------------------------- read
@@ -748,18 +859,25 @@ class LakeTable:
             raise ValueError(f"each probe must have {len(m.key_cols)} values "
                              f"(key columns {m.key_cols})")
 
+        entries = None
         if set(m.bucket_cols) <= set(m.key_cols):
             from synapse_etl_jobs_spark.sources.lake_datasource import bucket_of
 
             bidx = [m.key_cols.index(c) for c in m.bucket_cols]
-            wanted = {
-                bucket_of([(kv[i], key_types[i]) for i in bidx], m.num_buckets)
-                for kv in probes
-            }
-            entries = [
-                e for b, lst in m.buckets.items() if int(b) in wanted for e in lst
-            ]
-        else:  # bucketing not derivable from the key — bloom-prune only
+            try:
+                wanted = {
+                    bucket_of([(kv[i], key_types[i]) for i in bidx], m.num_buckets)
+                    for kv in probes
+                }
+                entries = [
+                    e for b, lst in m.buckets.items() if int(b) in wanted for e in lst
+                ]
+            except NotImplementedError:
+                # bucket-col type the driver-side xxhash64 port can't
+                # hash (double/date/...): degrade to scanning every
+                # candidate bucket instead of bricking point lookups
+                entries = None
+        if entries is None:  # bucketing not derivable — bloom-prune only
             entries = [e for lst in m.buckets.values() for e in lst]
 
         from synapse_etl_jobs_spark.lake.bloom import prune_entries
@@ -1108,7 +1226,7 @@ class LakeTable:
         )
         if lineage_rows:
             self._append_lineage(lineage_rows)
-        self._commit_manifest(self.path, new_manifest, self.fs)
+        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest
 
         result = {
@@ -1405,7 +1523,7 @@ class LakeTable:
             parent_version=m.table_version,
             props=m.props,
         )
-        self._commit_manifest(self.path, new_manifest, self.fs)
+        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest
         return {"applied": True, "table_version": new_version,
                 "compacted_buckets": victims,
@@ -1526,7 +1644,7 @@ class LakeTable:
             parent_version=m.table_version,
             props=old.props,
         )
-        self._commit_manifest(self.path, new_manifest, self.fs)
+        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=old)
         self.manifest = new_manifest
         return {"applied": True, "rolled_back_to": version,
                 "table_version": new_manifest.table_version}
@@ -1558,6 +1676,7 @@ class LakeTable:
         else:
             norm = lambda p: p  # noqa: E731
         kept_files: set[str] = set()
+        kept_refs: set[str] = set()
         expired_manifests: list[str] = []
         for mp, _sz in self.fs.list_files(mdir, ".json"):
             base = os.path.basename(mp)
@@ -1565,7 +1684,8 @@ class LakeTable:
                 continue
             v = int(base[1:-5])
             if v >= keep_from:
-                m = Manifest.from_json(self.fs.read_text(mp))
+                m = self._read_manifest(self.path, v, self.fs)
+                kept_refs.update(m.bucket_refs.values())
                 for entries in m.buckets.values():
                     kept_files.update(norm(e["path"]) for e in entries)
             else:
@@ -1590,6 +1710,14 @@ class LakeTable:
                 deleted_data += 1
         for mp in expired_manifests:
             self.fs.delete(mp)
+        # sharded side files: reclaim any not referenced by a retained
+        # root (expired versions' exclusive shards + debris of
+        # interrupted commits, whose root swap never happened)
+        deleted_side = 0
+        for sp, _sz in self.fs.list_files(os.path.join(mdir, "buckets"), ".json"):
+            if os.path.basename(sp) not in kept_refs:
+                self.fs.delete(sp)
+                deleted_side += 1
         # failed CoW merges may leave orphaned staging dirs; reclaim them
         # (safe: staging is only live DURING a merge, and the table is
         # single-writer — vacuum is a maintenance call, not concurrent)
@@ -1610,6 +1738,7 @@ class LakeTable:
             "retained_from_version": keep_from,
             "expired_manifests": len(expired_manifests),
             "deleted_data_files": deleted_data,
+            "deleted_side_manifests": deleted_side,
         }
 
     # ---------------------------------------------------------------- lineage
@@ -1787,5 +1916,5 @@ class LakeTable:
             parent_version=m.table_version,
             props=m.props,
         )
-        self._commit_manifest(self.path, new_manifest, self.fs)
+        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest

@@ -17,6 +17,8 @@ higher-order array functions + joins — no Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,6 +167,98 @@ def _band_buckets(
     ).select("_id", "_bb.band", "_bb.bucket")
 
 
+def cap_bucket_groups(
+    rows: DataFrame,
+    max_group_size: int,
+    group_cols: Sequence[str] = ("band", "bucket"),
+) -> DataFrame:
+    """Drop every row of a group larger than ``max_group_size`` — the
+    degenerate-bucket guard for LSH candidate generation.
+
+    A (band, bucket) group of k rows emits O(k²) candidate pairs from
+    the self-join; at web scale a boilerplate cluster (license headers,
+    templated pages) can put 10^6 near-identical documents in one bucket
+    — 10^12 pairs no AQE setting can absorb. Exact duplicates are
+    pre-collapsed upstream (``exact_duplicate_map``), so a group that
+    STILL exceeds the cap is a genuinely huge near-dup family; capping
+    trades recall on exactly those groups, the standard LSH practice.
+    One window shuffle on the group key — the same key the candidate
+    self-join shuffles on, so the Exchange is reused.
+
+    ``capped_group_stats`` reports what a cap would drop (or dropped),
+    for the metrics/lineage row the caller logs.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    return (
+        rows.withColumn("_gn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_gn") <= int(max_group_size))
+        .drop("_gn")
+    )
+
+
+def capped_group_stats(
+    rows: DataFrame,
+    max_group_size: int,
+    group_cols: Sequence[str] = ("band", "bucket"),
+) -> DataFrame:
+    """One row per OVER-CAP group: (group cols, group_size) — the
+    observability side of ``cap_bucket_groups`` (what was/would be
+    dropped). Aggregate it for a metrics row, or eyeball the histogram
+    to pick the cap."""
+    return (
+        rows.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > int(max_group_size))
+    )
+
+
+def exact_duplicate_map(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id_col, _rep): each document mapped to the min-id representative
+    of its EXACT-duplicate class (shingle-set equality, i.e. Jaccard
+    exactly 1.0 — the injective ``shingle_set_hash`` digest).
+
+    This is the pre-collapse step that keeps LSH linear on boilerplate:
+    identical documents share every band bucket, so feeding a k-clone
+    cluster into the banded self-join emits O(k²) candidate pairs; after
+    collapsing, the cluster enters LSH as ONE representative and its
+    membership is recovered as k-1 star pairs (rep, member) — O(k). The
+    digest aggregate is map-side combinable (one shuffle on the digest).
+    """
+    d = df.select(
+        F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
+    )
+    rep = d.groupBy("_dg").agg(F.min(id_col).alias("_rep"))
+    return d.join(rep, "_dg").select(id_col, "_rep")
+
+
+def _collapse_exact(
+    df: DataFrame, *, id_col: str, text_col: str, shingle_k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(mapped, reps_df, star_pairs) for the exact-dup pre-collapse:
+    ``mapped`` = (id, _rep); ``reps_df`` = the representative rows of
+    ``df``; ``star_pairs`` = (id_a=rep < id_b=member) pairs, each a
+    GUARANTEED Jaccard-1.0 duplicate (no verification needed)."""
+    mapped = exact_duplicate_map(
+        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    )
+    reps_df = df.join(
+        mapped.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col, "leftsemi",
+    )
+    star = mapped.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return mapped, reps_df, star
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -174,6 +268,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -183,19 +279,48 @@ def minhash_lsh_candidates(
     on the bucket key. The explode multiplies rows by ``bands`` but each
     row is just (id, band, bucket) — tiny — and the join is a hash join
     on a high-cardinality key, AQE-skew-splittable at scale.
+
+    Scale guards (both default OFF so the default output is the full
+    candidate-pair set):
+
+    - ``collapse_exact=True`` pre-collapses exact-duplicate documents
+      (see ``exact_duplicate_map``) so a k-clone boilerplate cluster
+      emits k-1 star pairs instead of O(k²) self-join pairs. The output
+      is then a SUFFICIENT candidate set, not the full one: it induces
+      the same verified duplicate clusters (identical docs have
+      identical signatures, so cross-class candidacy and verification
+      are invariant under swapping a member for its representative),
+      which is what the dedup pipelines need.
+    - ``max_bucket_size`` drops (band, bucket) groups larger than the
+      cap before the self-join (``cap_bucket_groups``); use
+      ``capped_group_stats`` on ``minhash_index(df, ...)`` to log what a
+      cap drops.
     """
+    star = None
+    src = df
+    if collapse_exact:
+        _, src, star = _collapse_exact(
+            df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        )
     buckets = _band_buckets(
-        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        src, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
         num_hashes=num_hashes, bands=bands, seed=seed,
     )
+    if max_bucket_size is not None:
+        buckets = cap_bucket_groups(buckets, max_bucket_size)
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "bucket")
-    return (
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if star is not None:
+        # disjoint by construction: star pairs have a non-representative
+        # id_b, self-join pairs have two representatives
+        pairs = pairs.unionByName(star)
+    return pairs
 
 
 def shingle_set_hash(text_col: str, k: int) -> Column:
@@ -609,16 +734,37 @@ def minhash_index_probe(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Candidate (new_id, corpus_id) pairs between a new batch and an
     indexed corpus. Parameters MUST match the index build. Only the new
-    batch is signed; the corpus contributes nothing but its index rows,
-    and the equi-join on (band, bucket) is AQE-skew-splittable."""
+    batch is signed; the corpus contributes nothing but its index rows.
+
+    Scale shape: with ``broadcast_probe`` (default) the batch's bucket
+    rows — O(batch × bands) tiny triples — are broadcast, so the
+    corpus-sized index side never shuffles: the probe is a map-side
+    BroadcastHashJoin over the index scan, per micro-batch cost
+    O(index-scan + candidates) with ZERO index Exchange. Disable only
+    for giant batches (then the equi-join shuffles both sides and is
+    AQE-skew-splittable). ``max_bucket_size`` drops index (band, bucket)
+    groups above the cap — the degenerate-boilerplate guard (see
+    ``cap_bucket_groups``). The cap is applied AFTER a broadcast
+    semijoin to the batch's probed buckets, so its count window
+    shuffles only O(probed index rows), never the whole index; group
+    sizes are unchanged by the semijoin (it keeps whole groups)."""
     nb = _band_buckets(
         new_df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
         num_hashes=num_hashes, bands=bands, seed=seed,
     ).select(F.col("_id").alias("new_id"), "band", "bucket")
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        probed = F.broadcast(nb.select("band", "bucket").distinct())
+        ix = cap_bucket_groups(
+            ix.join(probed, ["band", "bucket"], "leftsemi"), max_bucket_size
+        )
+    if broadcast_probe:
+        nb = F.broadcast(nb)
     return (
         nb.join(ix, ["band", "bucket"])
         # self-pairs excluded, matching rp_index_probe: a redelivered
@@ -641,6 +787,10 @@ def minhash_dedup_incremental(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
+    broadcast_probe: bool = True,
+    index_loader=None,
 ) -> DataFrame:
     """Rows of ``new_df`` that survive near-dup removal against an
     ALREADY-DEDUPED corpus and within the batch itself.
@@ -657,11 +807,40 @@ def minhash_dedup_incremental(
     re-banding the corpus too.
 
     ids must be unique across corpus ∪ batch (true of any real corpus;
-    asserted nowhere — a collision silently cross-matches)."""
+    asserted nowhere — a collision silently cross-matches).
+
+    Scale guards:
+
+    - ``collapse_exact=True``: the batch is pre-collapsed to one
+      representative per exact-duplicate class (min id) BEFORE signing,
+      so a k-clone boilerplate batch enters every join as one row
+      instead of k — O(k) not O(k²). The survivor set is invariant: a
+      non-representative member duplicates its (smaller-id) rep at
+      Jaccard 1.0 ≥ any threshold, so it could never survive anyway.
+    - ``max_bucket_size``: degenerate (band, bucket) groups above the
+      cap are dropped from the index probe (after a broadcast semijoin
+      to probed buckets — the cap never shuffles the whole index) and
+      from the within-batch self-join. Trades recall on exactly the
+      huge near-dup families; ``capped_group_stats`` reports them.
+    - ``broadcast_probe`` (default on): the batch's bucket rows are
+      broadcast so the corpus-sized index NEVER shuffles — the probe is
+      a map-side BroadcastHashJoin per micro-batch. Disable only for
+      giant batches.
+    - ``index_loader`` (overrides ``index``): callable receiving the
+      batch's DISTINCT (band, bucket) probe rows as a DataFrame and
+      returning the index rows to probe — the storage-pruning hook: a
+      lake index table bucketed on the LSH ``bucket`` column can serve
+      ONLY the storage buckets the probe can touch (see
+      ``streaming/dedup_stream.py``), never scanning the whole index.
+      Returning a superset of the matching rows is always sound: the
+      (band, bucket) equi-join discards the rest."""
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
-    if index is None:
-        index = minhash_index(corpus_df, id_col=id_col, text_col=text_col, **lsh)
+    if collapse_exact:
+        reps = exact_duplicate_map(
+            new_df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        ).filter(F.col(id_col) == F.col("_rep")).select(id_col)
+        new_df = new_df.join(reps, on=id_col, how="leftsemi")
 
     # ONE signature/banding pass over the batch serves BOTH the index
     # probe and the within-batch self-join (banding is deterministic
@@ -675,9 +854,21 @@ def minhash_dedup_incremental(
     nb = _band_buckets(
         new_df, id_col=id_col, text_col=text_col, **lsh
     ).localCheckpoint()
+    if index_loader is not None:
+        index = index_loader(nb.select("band", "bucket").distinct())
+    elif index is None:
+        index = minhash_index(corpus_df, id_col=id_col, text_col=text_col, **lsh)
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    nb_probe = nb.select(F.col("_id").alias("new_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        probed = F.broadcast(nb.select("band", "bucket").distinct())
+        ix = cap_bucket_groups(
+            ix.join(probed, ["band", "bucket"], "leftsemi"), max_bucket_size
+        )
+    if broadcast_probe:
+        nb_probe = F.broadcast(nb_probe)
     cross = (
-        nb.select(F.col("_id").alias("new_id"), "band", "bucket")
+        nb_probe
         .join(ix, ["band", "bucket"])
         # a doc must never match ITS OWN index row: under the unique-id
         # contract self-pairs cannot occur, but streaming redelivery
@@ -687,9 +878,12 @@ def minhash_dedup_incremental(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id").distinct()
     )
+    nb_within = nb
+    if max_bucket_size is not None:
+        nb_within = cap_bucket_groups(nb_within, max_bucket_size)
     within_cands = (
-        nb.select(F.col("_id").alias("id_a"), "band", "bucket")
-        .join(nb.select(F.col("_id").alias("id_b"), "band", "bucket"),
+        nb_within.select(F.col("_id").alias("id_a"), "band", "bucket")
+        .join(nb_within.select(F.col("_id").alias("id_b"), "band", "bucket"),
               ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()

@@ -440,8 +440,17 @@ def embedding_neardup_pairs(
     bits: int = 10,
     tables: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
+
+    ``max_bucket_size`` (lsh only) drops (table, sig) signature groups
+    above the cap before the self-join — the degenerate-bucket guard: a
+    k-clone embedding family (duplicated documents embed identically)
+    otherwise emits O(k²) candidate pairs. Trades recall on exactly
+    those huge families; ``dedup_text.capped_group_stats`` on
+    ``rp_signatures`` output (group_cols=("table", "sig")) reports what
+    a cap drops.
 
     ``method='exact'`` scores every pair — the oracle/verification path,
     O(n²), only for small corpora or post-LSH candidate lists.
@@ -463,6 +472,14 @@ def embedding_neardup_pairs(
         sigs = rp_signatures(
             c, id_col="_id", vec_col="_v", bits=bits, tables=tables, seed=seed
         )
+        if max_bucket_size is not None:
+            from synapse_etl_jobs_spark.operators.dedup_text import (
+                cap_bucket_groups,
+            )
+
+            sigs = cap_bucket_groups(
+                sigs, max_bucket_size, group_cols=("table", "sig")
+            )
         blocked = c.join(sigs, "_id").select("_id", "_v", "table", "sig")
         a = blocked.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "table", "sig"
@@ -542,15 +559,36 @@ def rp_index_probe(
     bits: int = 10,
     tables: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Candidate (new_id, corpus_id) pairs between a new batch and an
     indexed corpus: sign the batch only, equi-join on (table, sig).
     Self-pairs are excluded (streaming redelivery can legally present a
-    batch whose ids are already indexed — see dedup_text's cross probe)."""
+    batch whose ids are already indexed — see dedup_text's cross probe).
+
+    ``broadcast_probe`` (default on) broadcasts the batch's signature
+    rows so the corpus-sized index NEVER shuffles (map-side
+    BroadcastHashJoin); disable only for giant batches.
+    ``max_bucket_size`` drops degenerate (table, sig) index groups
+    above the cap, applied after a broadcast semijoin to the probed
+    signatures so the cap window shuffles O(probed rows), not the
+    whole index (group sizes are unchanged — the semijoin keeps whole
+    groups)."""
     nb = rp_signatures(
         new_df, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables, seed=seed
     ).select(F.col(id_col).alias("new_id"), "table", "sig")
     ix = index.select(F.col(id_col).alias("corpus_id"), "table", "sig")
+    if max_bucket_size is not None:
+        from synapse_etl_jobs_spark.operators.dedup_text import cap_bucket_groups
+
+        probed = F.broadcast(nb.select("table", "sig").distinct())
+        ix = cap_bucket_groups(
+            ix.join(probed, ["table", "sig"], "leftsemi"),
+            max_bucket_size, group_cols=("table", "sig"),
+        )
+    if broadcast_probe:
+        nb = F.broadcast(nb)
     return (
         nb.join(ix, ["table", "sig"])
         .filter(F.col("new_id") != F.col("corpus_id"))
@@ -570,6 +608,8 @@ def embedding_dedup_incremental(
     bits: int = 10,
     tables: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Rows of ``new_df`` that survive cosine near-dup removal against
     an already-deduped corpus and within the batch itself. Corpus
@@ -577,14 +617,20 @@ def embedding_dedup_incremental(
     when exact cosine ≥ ``threshold`` against any candidate corpus
     vector or a surviving smaller-id batch vector (single-round star
     contraction, same policy as ``dedup_embedding``). ids must be
-    unique across corpus ∪ batch."""
+    unique across corpus ∪ batch.
+
+    ``broadcast_probe``/``max_bucket_size`` are the probe-scale guards
+    — see ``rp_index_probe`` (the cap also applies to the within-batch
+    self-join via ``embedding_neardup_pairs``)."""
     from synapse_etl_jobs_spark.operators.dedup_text import keep_min_representative
 
     lsh = dict(bits=bits, tables=tables, seed=seed)
     if index is None:
         index = rp_index(corpus_df, id_col=id_col, vec_col=vec_col, **lsh)
     cross = rp_index_probe(
-        new_df, index, id_col=id_col, vec_col=vec_col, **lsh
+        new_df, index, id_col=id_col, vec_col=vec_col,
+        max_bucket_size=max_bucket_size, broadcast_probe=broadcast_probe,
+        **lsh,
     ).localCheckpoint()
 
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
@@ -609,6 +655,6 @@ def embedding_dedup_incremental(
 
     within = embedding_neardup_pairs(
         survivors, id_col=id_col, vec_col=vec_col, threshold=threshold,
-        method="lsh", **lsh,
+        method="lsh", max_bucket_size=max_bucket_size, **lsh,
     )
     return keep_min_representative(survivors, within, id_col)

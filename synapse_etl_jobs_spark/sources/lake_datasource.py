@@ -206,7 +206,17 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
         with open(os.path.join(mdir, "CURRENT")) as f:
             version = int(f.read().strip())
     with open(os.path.join(mdir, f"v{version:012d}.json")) as f:
-        return json.load(f)
+        d = json.load(f)
+    if "buckets" not in d:
+        # sharded root (Iceberg manifest-list analog): per-bucket file
+        # lists live in immutable side files — resolve the references
+        bdir = os.path.join(mdir, "buckets")
+        buckets = {}
+        for b, ref in d.get("bucket_refs", {}).items():
+            with open(os.path.join(bdir, ref)) as f:
+                buckets[b] = json.load(f)
+        d["buckets"] = buckets
+    return d
 
 
 def _current_version(path: str) -> int:
@@ -287,7 +297,22 @@ def _lww_reduce_arrow(t: "pa.Table", key_cols: list[str]) -> "pa.Table":
     seq = pc.fill_null(t.column(SEQ_COL), -(1 << 63)).to_numpy(
         zero_copy_only=False
     )
-    small = t.select(key_cols).to_pandas()
+    # Deduplicate on Arrow-side DICTIONARY CODES, never raw key values
+    # through pandas: the default to_pandas turns nullable int64 into
+    # float64 (keys above 2^53 collide after rounding), and even
+    # ArrowDtype-backed frames factorize through float for
+    # drop_duplicates. Codes are small ints — exact by construction.
+    # Nulls encode to null indices → -1, i.e. all-null keys group
+    # together (same semantics pandas had).
+    import pandas as pd
+
+    codes = {}
+    for c in key_cols:
+        enc = pc.dictionary_encode(t.column(c).combine_chunks())
+        codes[c] = np.asarray(
+            pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        )
+    small = pd.DataFrame(codes)
     # stable ordering: sort by seq then original position, keep last per key
     order = np.lexsort((np.arange(len(seq)), seq))
     winners = small.iloc[order].drop_duplicates(subset=key_cols, keep="last").index

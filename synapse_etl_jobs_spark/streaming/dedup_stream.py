@@ -26,9 +26,26 @@ Crash-window analysis (the reason for the commit ORDER below):
 
 Scale shape: the per-batch cost is the batch's signatures + one
 equi-join against the index + verification against candidate corpus
-documents only. The index table is O(corpus × bands) tiny rows; at
-cluster scale it would be bucketed on (band, bucket) so the probe join
-co-partitions — here it rides the lake table's hash bucketing.
+documents only. Three guards keep the probe sub-linear in the corpus:
+
+- the batch's bucket rows are BROADCAST (``broadcast_probe``), so the
+  O(corpus × bands) index side never shuffles — the probe is a
+  map-side BroadcastHashJoin per micro-batch;
+- the index table is keyed (id, band, bucket) and STORAGE-BUCKETED on
+  the LSH ``bucket`` hash, so the probe reads only the storage buckets
+  the batch's signatures can touch (driver-side pruning via the same
+  pure-Python xxhash64 the point-lookup path uses) — O(probed buckets)
+  scan, not O(index);
+- degenerate (band, bucket) groups — boilerplate families — can be
+  capped (``max_bucket_size``) and exact-duplicate batch docs
+  pre-collapsed (``collapse_exact``), bounding candidate fan-out.
+
+Keying the index by the FULL (id, band, bucket) triple makes rows
+immutable facts: a document re-ingested with different text ADDS its
+new rows; its stale rows survive as ghosts whose candidate pairs fail
+exact verification against the current corpus text — extra verify work,
+never a correctness risk (and a key's rows can no longer migrate
+between storage buckets, which per-bucket LWW reduction forbids).
 """
 
 from __future__ import annotations
@@ -57,8 +74,12 @@ def create_dedup_tables(
 ) -> tuple[LakeTable, LakeTable]:
     """Create the (corpus, LSH-index) lake-table pair for
     ``dedup_stream_into_table``. The corpus table is keyed by the
-    document id; the index table by (id, band) with the bucket hash as
-    payload, so index merges are idempotent per document per band."""
+    document id. The index table is keyed by the full (id, band,
+    bucket) triple — append-only immutable facts, idempotent to merge —
+    and storage-bucketed on the LSH ``bucket`` hash so a probe touches
+    only the storage buckets its signatures map to (see the module
+    docstring for why bucketing on a mutable payload column would be
+    unsound, and why ghost rows of re-ingested documents are harmless)."""
     docs = LakeTable.create(
         spark, docs_path, doc_schema, [id_col],
         num_buckets=num_buckets, write_mode=write_mode,
@@ -70,7 +91,8 @@ def create_dedup_tables(
         .add("bucket", "long")
     )
     index = LakeTable.create(
-        spark, index_path, ix_schema, [id_col, "band"],
+        spark, index_path, ix_schema, [id_col, "band", "bucket"],
+        bucket_cols=["bucket"],
         num_buckets=num_buckets, write_mode=write_mode,
     )
     return docs, index
@@ -91,6 +113,11 @@ def dedup_stream_into_table(
     seed: int = 42,
     stream_id: str = "dedup",
     trigger_once: bool = True,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
+    broadcast_probe: bool = True,
+    prune_index_scan: bool = True,
+    prune_max_values: int = 200_000,
 ) -> Any:
     """Tail a document stream into a near-dup-free corpus table.
 
@@ -104,6 +131,16 @@ def dedup_stream_into_table(
     with the parameters the index was built with, so pass the same ones
     for the table's whole lifetime (store them next to the table path
     if in doubt).
+
+    Scale guards (see ``minhash_dedup_incremental``): ``collapse_exact``
+    pre-collapses exact-duplicate batch docs; ``max_bucket_size`` caps
+    degenerate (band, bucket) groups; ``broadcast_probe`` keeps the
+    index side of the probe shuffle-free. ``prune_index_scan`` (default
+    on) reads only the index storage buckets the batch's signatures can
+    touch — the batch's ≤ batch×bands distinct bucket hashes are pulled
+    to the driver and mapped to storage buckets offline; above
+    ``prune_max_values`` distinct hashes every storage bucket is hit
+    anyway, so the probe falls back to the full index view.
     """
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
@@ -118,6 +155,7 @@ def dedup_stream_into_table(
         ) and index_table.is_batch_applied(stream_id, batch_id):
             return
         corpus = docs_table.read()
+
         # exclude the batch's OWN ids from the index view: after the
         # index-committed/docs-lost crash, the redelivered batch's ids
         # are already indexed — probing against them would change which
@@ -126,15 +164,33 @@ def dedup_stream_into_table(
         # row and diverge from the first attempt). With the exclusion
         # the replay sees exactly the first attempt's index state, so
         # the survivor set recomputes identically at ANY threshold.
-        index = index_table.read().select(id_col, "band", "bucket").join(
-            batch_df.select(id_col), id_col, "left_anti"
-        )
+        def load_index(probed: DataFrame) -> DataFrame:
+            ix = None
+            if prune_index_scan and index_table.manifest.bucket_cols == ["bucket"]:
+                # deterministic given batch content ⇒ replay-invariant;
+                # scan_keys returns WHOLE storage buckets (sound under
+                # per-bucket LWW), the probe equi-join filters the rest
+                vals = [
+                    r["bucket"]
+                    for r in probed.select("bucket").distinct()
+                    .limit(prune_max_values + 1).collect()
+                ]
+                if vals and len(vals) <= prune_max_values:
+                    ix = index_table.scan_keys([(v,) for v in vals])
+            if ix is None:
+                ix = index_table.read()
+            return ix.select(id_col, "band", "bucket").join(
+                batch_df.select(id_col), id_col, "left_anti"
+            )
+
         # NOT pre_reduced: a batch may legally carry the same id twice
         # (at-least-once upstream producers); merge's LWW reduction
         # resolves equal-seq ties deterministically by payload order
         kept = minhash_dedup_incremental(
-            batch_df, corpus, index=index,
-            id_col=id_col, text_col=text_col, threshold=threshold, **lsh,
+            batch_df, corpus, index_loader=load_index,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            collapse_exact=collapse_exact, max_bucket_size=max_bucket_size,
+            broadcast_probe=broadcast_probe, **lsh,
         ).persist()  # two merges below consume it — compute once
         try:
             new_index = minhash_index(

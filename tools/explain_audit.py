@@ -167,6 +167,77 @@ def _patch_collapse_check(spark, sf_dir):
     return "patch_collapse", txt, problems
 
 
+def _jnodes(n):
+    """Flatten a JVM SparkPlan tree (depth-first)."""
+    out = [n]
+    ch = n.children()
+    for i in range(ch.size()):
+        out += _jnodes(ch.apply(i))
+    return out
+
+
+def _index_probe_plan_check(spark, sf_dir):
+    """The incremental-index probe (streaming dedup hot path) must be a
+    BroadcastHashJoin with the BATCH side broadcast and the index side
+    shuffle-free: per micro-batch the O(corpus × bands) index must never
+    cross an Exchange — only the O(batch × bands) bucket rows move.
+    Verified structurally on the physical plan tree: exactly one join
+    child carries a BroadcastExchange and it is the side containing the
+    signature machinery (Generate/posexplode); the other (index) child
+    subtree contains zero Exchange nodes of any kind."""
+    import shutil
+    import tempfile
+
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        minhash_index, minhash_index_probe,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ixprobe_")
+    try:
+        # the production shape: index PERSISTED, read back as a plain scan
+        minhash_index(d).write.mode("overwrite").parquet(tmp)
+        ix = spark.read.parquet(tmp)
+        batch = d.limit(64)
+        probe = minhash_index_probe(batch, ix)
+        txt = plan_text(probe)
+        plan = probe._jdf.queryExecution().sparkPlan()
+        nodes = _jnodes(plan)
+        problems = []
+        joins = [n for n in nodes if n.nodeName() == "BroadcastHashJoin"]
+        if not joins:
+            problems.append("MISSING: probe join is not a BroadcastHashJoin")
+        else:
+            j = joins[0]
+            sides = [j.children().apply(0), j.children().apply(1)]
+            flat = [_jnodes(s) for s in sides]
+            bcast = [
+                i for i, f in enumerate(flat)
+                if any(m.nodeName() == "BroadcastExchange" for m in f)
+            ]
+            if len(bcast) != 1:
+                problems.append(
+                    f"expected exactly one broadcast join side, got {len(bcast)}"
+                )
+            else:
+                b, s = bcast[0], 1 - bcast[0]
+                if not any(m.nodeName() == "Generate" for m in flat[b]):
+                    problems.append(
+                        "broadcast side is not the batch (no signature "
+                        "Generate under the BroadcastExchange)"
+                    )
+                shuffles = [
+                    m.nodeName() for m in flat[s] if "Exchange" in m.nodeName()
+                ]
+                if shuffles:
+                    problems.append(
+                        f"FORBIDDEN: index side crosses Exchange(s): {shuffles}"
+                    )
+        return "minhash_index_probe_broadcast", txt, problems
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _tfidf_reuse_check(spark, sf_dir):
     """tf_idf_topk's tf and idf branches share the groupBy(id, term)
     subplan; AQE's final plan must materialize that exchange ONCE
@@ -213,6 +284,7 @@ def main() -> None:
         results.append((name, txt, problems))
     results.append(_semijoin_plan_check(spark, sf_dir))
     results.append(_patch_collapse_check(spark, sf_dir))
+    results.append(_index_probe_plan_check(spark, sf_dir))
     results.append(_tfidf_reuse_check(spark, sf_dir))
 
     for name, txt, problems in results:
