@@ -140,8 +140,16 @@ def prune_entries(
         for kv in probes:
             ck = (kv, bits, k)
             if ck not in pos_cache:
-                pos_cache[ck] = key_positions(kv, key_types, bits, k)
-            if bloom_might_contain(bloom, pos_cache[ck]):
+                try:
+                    pos_cache[ck] = key_positions(kv, key_types, bits, k)
+                except NotImplementedError:
+                    # key type the driver-side xxhash64 port can't hash
+                    # (double/date/...): write-time JVM blooms exist for
+                    # such tables, so degrade to keeping the file rather
+                    # than bricking every read (mirrors how
+                    # LakeBatchReader.pushFilters swallows this)
+                    pos_cache[ck] = None
+            if pos_cache[ck] is None or bloom_might_contain(bloom, pos_cache[ck]):
                 hit = True
                 break
         if hit:

@@ -149,17 +149,31 @@ class HadoopFS:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 self._path(path).toUri(), self._conf
             )
-            fc.rename(self._path(tmp), self._path(path), opts)
+        except Exception as e:
+            # ONLY "this FS has no FileContext support" (rare third-party
+            # impls / missing AbstractFileSystem binding) downgrades to
+            # delete+rename — NOT crash-atomic, but the optimistic-
+            # concurrency check upstream still prevents concurrent-writer
+            # clobbering. Anything else (transient IO, permissions) must
+            # propagate: falling through here on a REAL error could leave
+            # the table with no CURRENT pointer at all.
+            name = type(e).__name__
+            jmsg = str(e)
+            supported = not (
+                "UnsupportedFileSystemException" in jmsg
+                or "UnsupportedOperationException" in jmsg
+                or "ClassNotFoundException" in jmsg
+                or name in ("AttributeError", "TypeError")  # no such JVM class
+            )
+            if supported:
+                raise
+            fs.delete(self._path(path), False)
+            if not fs.rename(self._path(tmp), self._path(path)):
+                raise IOError(f"rename {tmp} -> {path} failed")
             return
-        except Exception:
-            # FS without FileContext support (rare third-party impls):
-            # last resort is delete+rename — NOT crash-atomic; the
-            # optimistic-concurrency check upstream still prevents
-            # concurrent-writer clobbering
-            pass
-        fs.delete(self._path(path), False)
-        if not fs.rename(self._path(tmp), self._path(path)):
-            raise IOError(f"rename {tmp} -> {path} failed")
+        # the rename itself gets NO fallback: with FileContext present, a
+        # rename failure is a real IO error and must surface as one
+        fc.rename(self._path(tmp), self._path(path), opts)
 
     def read_text(self, path: str) -> str:
         fs = self._fs(path)

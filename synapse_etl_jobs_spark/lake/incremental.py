@@ -191,9 +191,20 @@ class IncrementalAggView:
         prev = LakeTable.load(src.spark, src.path, version=since).manifest
         affected: set[str] = set()
         prev_paths = _entry_paths_by_bucket(prev)
+        prev_spec = (prev.num_buckets, list(prev.bucket_cols))
         for v in range(since + 1, to + 1):
             cur = LakeTable.load(src.spark, src.path, version=v).manifest
             cur_paths = _entry_paths_by_bucket(cur)
+            # a rebucket whose new bucket ids don't overlap the populated
+            # old ones would otherwise slip past the per-bucket checks
+            # below (nothing vanishes FROM a bucket that no longer exists)
+            cur_spec = (cur.num_buckets, list(cur.bucket_cols))
+            if cur_spec != prev_spec:
+                raise ValueError(
+                    f"source version {v} changed the bucket spec "
+                    f"{prev_spec} -> {cur_spec} (rebucket) — bucket-level "
+                    "deltas don't compose across specs; use refresh()"
+                )
             for b, paths in cur_paths.items():
                 old = prev_paths.get(b, set())
                 if old - paths:
@@ -203,7 +214,14 @@ class IncrementalAggView:
                     )
                 if paths - old:
                     affected.add(b)
+            for b, old in prev_paths.items():
+                if old and b not in cur_paths:
+                    raise ValueError(
+                        f"source version {v} dropped populated bucket {b} — "
+                        "use refresh() for this window"
+                    )
             prev_paths = cur_paths
+            prev_spec = cur_spec
 
         if not affected:
             return self._merge_rows(

@@ -43,21 +43,31 @@ def sample_boundaries(
     """Per-column quantile boundaries from one bounded, deterministic
     uniform sample per column.
 
-    ``orderBy(xxhash64(col, seed)).limit(n)`` plans as a distributed
+    ``orderBy(xxhash64(row, seed)).limit(n)`` plans as a distributed
     TakeOrderedAndProject: each partition keeps its local top-n by the
     hash (a uniform random draw, deterministic given the data), and only
     n rows ever reach the driver — the boundary pick is O(sample) no
     matter the table size. Works for any orderable type (numerics,
     strings, dates); ``approxQuantile`` would cover numerics only.
+
+    The ordering hash covers the FULL row, not just the sampled column:
+    hashing the column alone gives every duplicate of a value the same
+    draw, so on skewed columns the sample is all-or-nothing per distinct
+    value and the quantile boundaries misrepresent row frequencies.
+    Row-hashing keeps the draw uniform over rows while staying
+    deterministic given the data (exact full-row duplicates still share
+    a draw — acceptable: they are interchangeable rows).
     """
     n_buckets = 1 << bits
+    row_cols = [F.col(x) for x in df.columns]
     out: dict[str, list] = {}
     for c in cols:
         vals = [
             r[0]
-            for r in df.select(c)
-            .where(F.col(c).isNotNull())
-            .orderBy(F.xxhash64(F.col(c), F.lit(int(seed))), F.col(c))
+            for r in df.select(F.col(c).alias("_v"), *row_cols)
+            .where(F.col("_v").isNotNull())
+            .orderBy(F.xxhash64(*row_cols, F.lit(int(seed))), F.col("_v"))
+            .select("_v")
             .limit(int(sample_rows))
             .collect()
         ]
