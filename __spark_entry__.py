@@ -2403,6 +2403,461 @@ def q_media_plumbing(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Athena SQL backfills (jobs/backfill_athena.py) — the old-data-warehouse
+# snapshot tables reshaped into the change-event envelope. The synthetic
+# ``old_<x>`` source mirrors the reference's CSV-projected table shape
+# (change_timestamp, record_type, json_record, instance, snapshot_date);
+# its JSON payloads derive deterministically from events so the DuckDB
+# oracle can compute the expected envelope WITHOUT a JSON round trip.
+# ---------------------------------------------------------------------------
+
+def _old_snapshot_view(spark, sf_dir, view_name, payload_struct) -> None:
+    """Register the synthetic old_<x> source view. ``payload_struct`` is
+    a callable (events_df, created_ts_col) -> struct Column; created is
+    second-aligned at ``ts - (event_id % 3) * 2s`` so the ≥1s changeType
+    rule fires deterministically (offset 0 → CREATE, 2s/4s → UPDATE)."""
+    ev = _t(spark, sf_dir, "events")
+    base_s = F.expr("unix_millis(cast(ts as timestamp)) div 1000")
+    created = F.timestamp_seconds(base_s - F.pmod(F.col("event_id"), F.lit(3)) * 2)
+    (
+        ev.select(
+            (base_s * 1000).alias("change_timestamp"),
+            F.lit("snapshotrecord").alias("record_type"),
+            F.to_json(payload_struct(ev, created)).alias("json_record"),
+            F.lpad(
+                (F.lit(386) + F.pmod(F.col("event_id"), F.lit(10))).cast("string"),
+                9, "0",
+            ).alias("instance"),
+            F.date_format("ts", "yyyy-MM-dd").alias("snapshot_date"),
+        )
+        .createOrReplaceTempView(view_name)
+    )
+
+
+def _iso(c) -> Column:
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def _run_athena(spark, sf_dir, job, view, payload_struct) -> DataFrame:
+    from synapse_etl_jobs_spark.jobs.backfill_athena import run_athena_backfill
+
+    _old_snapshot_view(spark, sf_dir, view, payload_struct)
+    dest = _tmpdir(f"athena_{job}_") + "/t"
+    return run_athena_backfill(spark, job, view, dest)
+
+
+def q_backfill_usergroup(spark, sf_dir) -> DataFrame:
+    """usergroup Athena backfill (jobs/backfill_athena.py; reference
+    backfill_usergroup_athena.sql:56-87): JSON scalar extraction, ISO→ms
+    creationDate, null userId, ≥1s changeType rule, zero-pad partition
+    columns — run as a Catalog SQL INSERT and read back flattened."""
+    def payload(ev, created):
+        eid, uid = F.col("event_id"), F.col("user_id")
+        return F.struct(
+            uid.cast("string").alias("id"),
+            (F.pmod(eid, F.lit(2)) == 0).alias("isIndividual"),
+            F.concat(F.lit("etag-"), eid.cast("string")).alias("etag"),
+            _iso(created).alias("creationDate"),
+            F.when(
+                F.pmod(eid, F.lit(7)) != 0,
+                F.concat(F.lit("/usergroup/"), uid.cast("string")),
+            ).alias("uri"),
+        )
+
+    out = _run_athena(spark, sf_dir, "usergroup", "old_usergroup_src", payload)
+    return out.select(
+        "stack", "instance", "objecttype", "changetype",
+        "changetimestamp", "snapshottimestamp", "userid",
+        F.col("snapshot.id").alias("ug_id"),
+        F.col("snapshot.isIndividual").alias("is_individual"),
+        F.col("snapshot.etag").alias("etag"),
+        F.col("snapshot.creationDate").alias("creation_ms"),
+        F.col("snapshot.uri").alias("uri"),
+        "year", "month", "day",
+    )
+
+
+def q_backfill_team(spark, sf_dir) -> DataFrame:
+    """team Athena backfill (backfill_team_snapshot_athena.sql:61-105):
+    11-field snapshot struct with two ISO→ms conversions and a userId
+    pulled from the payload's modifiedBy."""
+    def payload(ev, created):
+        eid, uid = F.col("event_id"), F.col("user_id")
+        return F.struct(
+            eid.cast("string").alias("id"),
+            F.concat(F.lit("team-"), eid.cast("string")).alias("name"),
+            F.when(
+                F.pmod(eid, F.lit(5)) != 0,
+                F.concat(F.lit("desc-"), eid.cast("string")),
+            ).alias("description"),
+            F.concat(F.lit("i"), F.pmod(eid, F.lit(4)).cast("string")).alias("icon"),
+            (F.pmod(eid, F.lit(2)) == 0).alias("canPublicJoin"),
+            (F.pmod(eid, F.lit(3)) == 0).alias("canRequestMembership"),
+            F.concat(F.lit("etag-"), eid.cast("string")).alias("etag"),
+            _iso(created).alias("createdOn"),
+            _iso(created + F.expr("INTERVAL 1 HOUR")).alias("modifiedOn"),
+            uid.cast("string").alias("createdBy"),
+            (uid + 1).cast("string").alias("modifiedBy"),
+        )
+
+    out = _run_athena(spark, sf_dir, "team", "old_team_src", payload)
+    return out.select(
+        "stack", "instance", "objecttype", "changetype",
+        "changetimestamp", "snapshottimestamp", "userid",
+        F.col("snapshot.id").alias("team_id"),
+        F.col("snapshot.name").alias("team_name"),
+        F.col("snapshot.description").alias("description"),
+        F.col("snapshot.icon").alias("icon"),
+        F.col("snapshot.canPublicJoin").alias("can_public_join"),
+        F.col("snapshot.canRequestMembership").alias("can_request_membership"),
+        F.col("snapshot.createdOn").alias("created_ms"),
+        F.col("snapshot.modifiedOn").alias("modified_ms"),
+        F.col("snapshot.createdBy").alias("created_by"),
+        F.col("snapshot.modifiedBy").alias("modified_by"),
+        "year", "month", "day",
+    )
+
+
+def q_backfill_team_member(spark, sf_dir) -> DataFrame:
+    """team_member Athena backfill
+    (backfill_team_member_snapshot_athena.sql:60-84): nested member
+    struct parsed whole from the JSON subtree (the json_parse(json_query)
+    pattern → from_json), static changeType UPDATE, userId from the
+    nested member.ownerId path."""
+    def payload(ev, created):
+        eid, uid = F.col("event_id"), F.col("user_id")
+        return F.struct(
+            F.pmod(eid, F.lit(50)).cast("string").alias("teamId"),
+            F.struct(
+                uid.cast("string").alias("ownerId"),
+                F.concat(F.lit("fn"), uid.cast("string")).alias("firstName"),
+                F.concat(F.lit("ln"), uid.cast("string")).alias("lastName"),
+                F.concat(F.lit("u"), uid.cast("string")).alias("userName"),
+                F.concat(uid.cast("string"), F.lit("@x.org")).alias("email"),
+                F.when(
+                    F.pmod(eid, F.lit(4)) != 0,
+                    F.concat(F.lit("dn"), uid.cast("string")),
+                ).alias("displayName"),
+                F.lit(True).alias("isIndividual"),
+            ).alias("member"),
+            (F.pmod(eid, F.lit(2)) == 1).alias("isAdmin"),
+        )
+
+    out = _run_athena(
+        spark, sf_dir, "team_member", "old_team_member_src", payload
+    )
+    return out.select(
+        "stack", "instance", "objecttype", "changetype",
+        "changetimestamp", "snapshottimestamp", "userid",
+        F.col("snapshot.teamId").alias("team_id"),
+        F.col("snapshot.member.ownerId").alias("owner_id"),
+        F.col("snapshot.member.firstName").alias("first_name"),
+        F.col("snapshot.member.email").alias("email"),
+        F.col("snapshot.member.displayName").alias("display_name"),
+        F.col("snapshot.member.isIndividual").alias("is_individual"),
+        F.col("snapshot.isAdmin").alias("is_admin"),
+        "year", "month", "day",
+    )
+
+
+def q_backfill_userprofile(spark, sf_dir) -> DataFrame:
+    """userprofile Athena backfill (backfill_userprofile_athena.sql:77-137):
+    the deepest envelope — 21-field struct with two JSON arrays, a nested
+    settings struct, and an array of (name, value) preference structs."""
+    def payload(ev, created):
+        eid, uid = F.col("event_id"), F.col("user_id")
+        u = uid.cast("string")
+        return F.struct(
+            u.alias("ownerId"),
+            F.concat(F.lit("etag-"), eid.cast("string")).alias("etag"),
+            F.concat(F.lit("fn"), u).alias("firstName"),
+            F.concat(F.lit("ln"), u).alias("lastName"),
+            F.concat(u, F.lit("@x.org")).alias("email"),
+            F.array(
+                F.concat(u, F.lit("@x.org")),
+                F.concat(F.lit("alt-"), u, F.lit("@y.org")),
+            ).alias("emails"),
+            F.array(F.concat(F.lit("oid-"), u)).alias("openIds"),
+            F.concat(F.lit("user"), u).alias("userName"),
+            F.concat(F.lit("User "), u).alias("displayName"),
+            F.when(
+                F.pmod(eid, F.lit(3)) != 0, F.lit("https://r.example.org")
+            ).alias("rStudioUrl"),
+            F.lit("summary").alias("summary"),
+            F.lit("engineer").alias("position"),
+            F.concat(F.lit("city-"), F.pmod(eid, F.lit(9)).cast("string")).alias("location"),
+            F.lit("software").alias("industry"),
+            F.concat(F.lit("co-"), F.pmod(eid, F.lit(6)).cast("string")).alias("company"),
+            eid.cast("string").alias("profilePicureFileHandleId"),
+            F.concat(F.lit("https://example.org/"), u).alias("url"),
+            F.concat(F.lit("team-"), F.pmod(eid, F.lit(50)).cast("string")).alias("teamName"),
+            F.struct(
+                (F.pmod(eid, F.lit(2)) == 0).alias("sendEmailNotifications"),
+                (F.pmod(eid, F.lit(3)) == 0).alias("markEmailedMessagesAsRead"),
+            ).alias("notificationSettings"),
+            F.array(
+                F.struct(
+                    F.lit("p0").alias("name"),
+                    (F.pmod(eid, F.lit(2)) == 0).alias("value"),
+                ),
+                F.struct(
+                    F.lit("p1").alias("name"),
+                    (F.pmod(eid, F.lit(5)) == 0).alias("value"),
+                ),
+            ).alias("preferences"),
+            _iso(created).alias("createdOn"),
+        )
+
+    out = _run_athena(
+        spark, sf_dir, "userprofile", "old_userprofile_src", payload
+    )
+    return out.select(
+        "stack", "instance", "objecttype", "changetype",
+        "changetimestamp", "snapshottimestamp", "userid",
+        F.col("snapshot.ownerId").alias("owner_id"),
+        F.col("snapshot.email").alias("email"),
+        F.size("snapshot.emails").alias("n_emails"),
+        F.element_at("snapshot.emails", 2).alias("alt_email"),
+        F.element_at("snapshot.openIds", 1).alias("open_id"),
+        F.col("snapshot.userName").alias("user_name"),
+        F.col("snapshot.rStudioUrl").alias("rstudio_url"),
+        F.col("snapshot.location").alias("location"),
+        F.col("snapshot.company").alias("company"),
+        F.col("snapshot.notificationSettings.sendEmailNotifications").alias("send_email"),
+        F.col("snapshot.notificationSettings.markEmailedMessagesAsRead").alias("mark_read"),
+        F.element_at("snapshot.preferences", 1)["value"].alias("pref0"),
+        F.element_at("snapshot.preferences", 2)["value"].alias("pref1"),
+        F.col("snapshot.createdOn").alias("created_ms"),
+        "year", "month", "day",
+    )
+
+
+def q_backfill_verifications(spark, sf_dir) -> DataFrame:
+    """verifications Athena backfill
+    (backfill_verifications_athena.sql:73-145): the stateHistory array
+    lambda — the reference's only N5 transform in anger (:97-110) — each
+    element's ISO createdOn converted to epoch-ms inside a native
+    ``transform``, plus attachments parsed as an array of structs.
+    Variable-length histories (1 or 2 entries) exercise the lambda on
+    both shapes."""
+    def payload(ev, created):
+        eid, uid = F.col("event_id"), F.col("user_id")
+        u = uid.cast("string")
+        e1 = F.struct(
+            _iso(created).alias("createdOn"),
+            u.alias("createdBy"),
+            F.lit("SUBMITTED").alias("state"),
+            F.lit(None).cast("string").alias("reason"),
+            F.lit("n0").alias("notes"),
+        )
+        e2 = F.struct(
+            _iso(created + F.expr("INTERVAL 100 SECONDS")).alias("createdOn"),
+            (uid + 1).cast("string").alias("createdBy"),
+            F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("APPROVED"))
+            .otherwise(F.lit("REJECTED")).alias("state"),
+            F.when(F.pmod(eid, F.lit(2)) == 1, F.lit("r1")).alias("reason"),
+            F.lit(None).cast("string").alias("notes"),
+        )
+        return F.struct(
+            eid.cast("string").alias("id"),
+            _iso(created).alias("createdOn"),
+            u.alias("createdBy"),
+            F.concat(F.lit("fn"), u).alias("firstName"),
+            F.concat(F.lit("ln"), u).alias("lastName"),
+            F.array(F.concat(u, F.lit("@x.org"))).alias("emails"),
+            F.concat(u, F.lit("@x.org")).alias("notificationEmail"),
+            F.when(
+                F.pmod(eid, F.lit(6)) != 0,
+                F.concat(F.lit("city-"), F.pmod(eid, F.lit(9)).cast("string")),
+            ).alias("location"),
+            F.lit("co").alias("company"),
+            F.concat(F.lit("orcid-"), u).alias("orcid"),
+            F.when(F.pmod(eid, F.lit(3)) == 0, F.array(e1))
+            .otherwise(F.array(e1, e2)).alias("stateHistory"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("f-"), eid.cast("string"), F.lit(".pdf")).alias("fileName"),
+                    eid.cast("string").alias("id"),
+                )
+            ).alias("attachments"),
+        )
+
+    out = _run_athena(
+        spark, sf_dir, "verifications", "old_verifications_src", payload
+    )
+    return out.select(
+        "stack", "instance", "objecttype", "changetype",
+        "changetimestamp", "snapshottimestamp", "userid",
+        F.col("snapshot.id").alias("ver_id"),
+        F.col("snapshot.createdOn").alias("created_ms"),
+        F.element_at("snapshot.emails", 1).alias("email"),
+        F.col("snapshot.location").alias("location"),
+        F.col("snapshot.orcid").alias("orcid"),
+        F.size("snapshot.stateHistory").alias("n_history"),
+        F.element_at("snapshot.stateHistory", 1)["createdOn"].alias("sh1_created_ms"),
+        F.element_at("snapshot.stateHistory", 1)["state"].alias("sh1_state"),
+        F.element_at("snapshot.stateHistory", -1)["createdOn"].alias("shl_created_ms"),
+        F.element_at("snapshot.stateHistory", -1)["state"].alias("shl_state"),
+        F.element_at("snapshot.stateHistory", -1)["reason"].alias("shl_reason"),
+        F.element_at("snapshot.attachments", 1)["fileName"].alias("att_name"),
+        F.element_at("snapshot.attachments", 1)["id"].alias("att_id"),
+        "year", "month", "day",
+    )
+
+
+def q_backfill_old_dwh_downloads(spark, sf_dir) -> DataFrame:
+    """The old-data-warehouse file-download backfill end to end
+    (jobs/backfill_file_downloads.py; reference
+    backfill_old_dataware_house_file_download_records.py:89-181): bulk
+    source's fileSummary array parsed + exploded + ^SUCCESS-filtered,
+    single-download source's downloadedFile struct parsed, common
+    envelope fields injected, the two streams unioned and written
+    record_date-partitioned."""
+    from synapse_etl_jobs_spark.jobs.backfill_file_downloads import (
+        backfill_old_dwh_file_downloads,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    bulk = ev.filter(F.pmod(eid, F.lit(2)) == 0).select(
+        ms.alias("timestamp"),
+        F.to_json(F.struct(
+            uid.alias("userId"),
+            eid.cast("string").alias("resultZipFileHandleId"),
+            F.array(
+                F.struct(
+                    (eid * 10).cast("string").alias("fileHandleId"),
+                    eid.cast("string").alias("associateObjectId"),
+                    F.lit("FileEntity").alias("associateObjectType"),
+                    F.lit("SUCCESS").alias("status"),
+                ),
+                F.struct(
+                    (eid * 10 + 1).cast("string").alias("fileHandleId"),
+                    eid.cast("string").alias("associateObjectId"),
+                    F.lit("TableEntity").alias("associateObjectType"),
+                    F.when(F.pmod(eid, F.lit(3)) == 0, F.lit("FAILURE"))
+                    .otherwise(F.lit("SUCCESSFUL")).alias("status"),
+                ),
+            ).alias("fileSummary"),
+        )).alias("json"),
+    )
+    single = ev.filter(F.pmod(eid, F.lit(2)) == 1).select(
+        ms.alias("timestamp"),
+        F.to_json(F.struct(
+            uid.alias("userId"),
+            F.struct(
+                eid.cast("string").alias("fileHandleId"),
+                F.pmod(eid, F.lit(100)).cast("string").alias("associateObjectId"),
+                F.lit("FileEntity").alias("associateObjectType"),
+            ).alias("downloadedFile"),
+        )).alias("json"),
+    )
+    dest = _tmpdir("olddwh_") + "/t"
+    out = backfill_old_dwh_file_downloads(
+        spark, bulk, single, dest, stack="prod", release_number="000000123",
+    )
+    return out.select(
+        F.unix_millis("timestamp").alias("ts_ms"),
+        "stack", "instance",
+        F.col("record_date").cast("string").alias("record_date"),
+        "user_id", "project_id", "downloaded_file_handle_id",
+        "file_handle_id", "association_object_id", "association_object_type",
+    )
+
+
+def q_backfill_kinesis_downloads(spark, sf_dir) -> DataFrame:
+    """The kinesis file-download backfill
+    (jobs/backfill_file_downloads.py; reference
+    backfill_kinesis_file_download_records.py:42-72): rename/cast
+    mapping, null downloaded_file_handle_id, timestamp-derived
+    record_date, partitioned write."""
+    from synapse_etl_jobs_spark.jobs.backfill_file_downloads import (
+        backfill_kinesis_file_downloads,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    src = ev.select(
+        F.col("user_id").alias("userid"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.pmod(eid, F.lit(100)).alias("projectid"),
+        eid.cast("string").alias("filehandleid"),
+        F.lit("FileEntity").alias("associatetype"),
+        eid.cast("string").alias("associateid"),
+        F.lit("prod").alias("stack"),
+        F.lit("123").alias("instance"),
+    )
+    dest = _tmpdir("kinesis_") + "/t"
+    out = backfill_kinesis_file_downloads(spark, src, dest)
+    return out.select(
+        F.unix_millis("timestamp").alias("ts_ms"),
+        "stack", "instance",
+        F.col("record_date").cast("string").alias("record_date"),
+        "user_id", "project_id", "downloaded_file_handle_id",
+        "file_handle_id", "association_object_id", "association_object_type",
+    )
+
+
+def q_backfill_access_records(spark, sf_dir) -> DataFrame:
+    """The access-record backfill end to end (jobs/backfill_access.py;
+    reference backfill_process_access_record.py:17-88): 23 flat
+    old-warehouse string columns folded INTO the typed ``payload``
+    struct, stack/instance/timestamp promoted to the envelope, year +
+    zero-padded month/day partition fields, gzip-JSON write, read back.
+    All source columns arrive as STRINGS (the reference's CSV table) so
+    the struct casts are exercised."""
+    from synapse_etl_jobs_spark.jobs.backfill_access import backfill_access_records
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    src = ev.select(
+        F.concat(F.lit("sess-"), s(eid)).alias("session_id"),
+        s(ms).alias("timestamp"),
+        s(uid).alias("user_id"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, "GET").otherwise("POST").alias("method"),
+        F.concat(F.lit("/repo/v1/entity/syn"), s(eid)).alias("request_url"),
+        F.lit("Synapse-Java-Client/372.0").alias("user_agent"),
+        F.lit("repo-prod.prod.sagebase.org").alias("host"),
+        F.when(F.pmod(eid, F.lit(5)) != 0, F.lit("https://www.synapse.org")).alias("origin"),
+        F.lit("1.1 example").alias("via"),
+        s(F.pmod(eid, F.lit(64))).alias("thread_id"),
+        s(F.pmod(eid, F.lit(900)) + 3).alias("elapse_ms"),
+        F.when(F.pmod(eid, F.lit(11)) == 0, "false").otherwise("true").alias("success"),
+        F.lit("prod").alias("stack"),
+        F.lit("000000123").alias("instance"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.concat(F.lit("vm-"), s(F.pmod(eid, F.lit(7)))).alias("vm_id"),
+        s(eid).alias("return_object_id"),
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.lit("limit=20")).alias("query_string"),
+        F.when(F.pmod(eid, F.lit(11)) == 0, "500").otherwise("200").alias("response_status"),
+        F.lit(None).cast("string").alias("oauth_client_id"),
+        F.lit(None).cast("string").alias("basic_auth_username"),
+        F.lit("bearertoken").alias("auth_method"),
+        F.lit("10.0.0.1").alias("x_forwarded_for"),
+    )
+    dest = _tmpdir("backfill_acc_") + "/json"
+    out = backfill_access_records(spark, src, dest)
+    return out.select(
+        F.col("payload.sessionId").alias("session_id"),
+        F.col("payload.timestamp").alias("payload_ms"),
+        F.col("payload.userId").alias("payload_user_id"),
+        F.col("payload.method").alias("method"),
+        F.col("payload.requestURL").alias("request_url"),
+        F.col("payload.origin").alias("origin"),
+        F.col("payload.threadId").alias("thread_id"),
+        F.col("payload.elapseMS").alias("elapse_ms"),
+        F.col("payload.success").alias("success"),
+        F.col("payload.responseStatus").alias("response_status"),
+        F.col("payload.date").alias("payload_date"),
+        "stack", "instance",
+        F.col("timestamp").alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -2511,6 +2966,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "certified_quiz_job": q_certified_quiz_job,
         "team_member_job": q_team_member_job,
         "backfill_node_snapshots": q_backfill_node_snapshots,
+        "backfill_usergroup": q_backfill_usergroup,
+        "backfill_team": q_backfill_team,
+        "backfill_team_member": q_backfill_team_member,
+        "backfill_userprofile": q_backfill_userprofile,
+        "backfill_verifications": q_backfill_verifications,
+        "backfill_old_dwh_downloads": q_backfill_old_dwh_downloads,
+        "backfill_kinesis_downloads": q_backfill_kinesis_downloads,
+        "backfill_access_records": q_backfill_access_records,
     }
 
 
@@ -3534,6 +3997,201 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
                    event_type AS node_type,
                    event_id % 5 AS version_number,
                    epoch_ms(CAST(strftime(ts, '%Y-%m-%d') AS TIMESTAMP)) AS snapshot_ms
+            FROM events
+        """,
+        # the Athena backfill oracles share one derivation: change is
+        # second-aligned ts, created = change - (event_id % 3) * 2s, so
+        # the >1s rule fires exactly when event_id % 3 != 0
+        "backfill_usergroup": """
+            SELECT 'prod' AS stack,
+                   CAST(386 + event_id % 10 AS VARCHAR) AS instance,
+                   'PRINCIPAL' AS objecttype,
+                   CASE WHEN (event_id % 3) * 2000 > 1000
+                        THEN 'UPDATE' ELSE 'CREATE' END AS changetype,
+                   (epoch_ms(ts) // 1000) * 1000 AS changetimestamp,
+                   epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS snapshottimestamp,
+                   NULL::BIGINT AS userid,
+                   CAST(user_id AS VARCHAR) AS ug_id,
+                   (event_id % 2 = 0) AS is_individual,
+                   'etag-' || CAST(event_id AS VARCHAR) AS etag,
+                   ((epoch_ms(ts) // 1000) - (event_id % 3) * 2) * 1000 AS creation_ms,
+                   CASE WHEN event_id % 7 != 0
+                        THEN '/usergroup/' || CAST(user_id AS VARCHAR) END AS uri,
+                   CAST(year(ts) AS VARCHAR) AS year,
+                   lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+                   lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+            FROM events
+        """,
+        "backfill_team": """
+            SELECT 'prod' AS stack,
+                   CAST(386 + event_id % 10 AS VARCHAR) AS instance,
+                   'PRINCIPAL' AS objecttype,
+                   CASE WHEN (event_id % 3) * 2000 > 1000
+                        THEN 'UPDATE' ELSE 'CREATE' END AS changetype,
+                   (epoch_ms(ts) // 1000) * 1000 AS changetimestamp,
+                   epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS snapshottimestamp,
+                   user_id + 1 AS userid,
+                   CAST(event_id AS VARCHAR) AS team_id,
+                   'team-' || CAST(event_id AS VARCHAR) AS team_name,
+                   CASE WHEN event_id % 5 != 0
+                        THEN 'desc-' || CAST(event_id AS VARCHAR) END AS description,
+                   'i' || CAST(event_id % 4 AS VARCHAR) AS icon,
+                   (event_id % 2 = 0) AS can_public_join,
+                   (event_id % 3 = 0) AS can_request_membership,
+                   ((epoch_ms(ts) // 1000) - (event_id % 3) * 2) * 1000 AS created_ms,
+                   ((epoch_ms(ts) // 1000) - (event_id % 3) * 2 + 3600) * 1000 AS modified_ms,
+                   CAST(user_id AS VARCHAR) AS created_by,
+                   CAST(user_id + 1 AS VARCHAR) AS modified_by,
+                   CAST(year(ts) AS VARCHAR) AS year,
+                   lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+                   lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+            FROM events
+        """,
+        "backfill_team_member": """
+            SELECT 'prod' AS stack,
+                   CAST(386 + event_id % 10 AS VARCHAR) AS instance,
+                   'PRINCIPAL' AS objecttype,
+                   'UPDATE' AS changetype,
+                   (epoch_ms(ts) // 1000) * 1000 AS changetimestamp,
+                   epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS snapshottimestamp,
+                   user_id AS userid,
+                   CAST(event_id % 50 AS VARCHAR) AS team_id,
+                   CAST(user_id AS VARCHAR) AS owner_id,
+                   'fn' || CAST(user_id AS VARCHAR) AS first_name,
+                   CAST(user_id AS VARCHAR) || '@x.org' AS email,
+                   CASE WHEN event_id % 4 != 0
+                        THEN 'dn' || CAST(user_id AS VARCHAR) END AS display_name,
+                   TRUE AS is_individual,
+                   (event_id % 2 = 1) AS is_admin,
+                   CAST(year(ts) AS VARCHAR) AS year,
+                   lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+                   lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+            FROM events
+        """,
+        "backfill_userprofile": """
+            SELECT 'prod' AS stack,
+                   CAST(386 + event_id % 10 AS VARCHAR) AS instance,
+                   'PRINCIPAL' AS objecttype,
+                   CASE WHEN (event_id % 3) * 2000 > 1000
+                        THEN 'UPDATE' ELSE 'CREATE' END AS changetype,
+                   (epoch_ms(ts) // 1000) * 1000 AS changetimestamp,
+                   epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS snapshottimestamp,
+                   user_id AS userid,
+                   CAST(user_id AS VARCHAR) AS owner_id,
+                   CAST(user_id AS VARCHAR) || '@x.org' AS email,
+                   2 AS n_emails,
+                   'alt-' || CAST(user_id AS VARCHAR) || '@y.org' AS alt_email,
+                   'oid-' || CAST(user_id AS VARCHAR) AS open_id,
+                   'user' || CAST(user_id AS VARCHAR) AS user_name,
+                   CASE WHEN event_id % 3 != 0
+                        THEN 'https://r.example.org' END AS rstudio_url,
+                   'city-' || CAST(event_id % 9 AS VARCHAR) AS location,
+                   'co-' || CAST(event_id % 6 AS VARCHAR) AS company,
+                   (event_id % 2 = 0) AS send_email,
+                   (event_id % 3 = 0) AS mark_read,
+                   (event_id % 2 = 0) AS pref0,
+                   (event_id % 5 = 0) AS pref1,
+                   ((epoch_ms(ts) // 1000) - (event_id % 3) * 2) * 1000 AS created_ms,
+                   CAST(year(ts) AS VARCHAR) AS year,
+                   lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+                   lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+            FROM events
+        """,
+        "backfill_verifications": """
+            WITH base AS (
+              SELECT *,
+                     (epoch_ms(ts) // 1000) * 1000 AS change_ms,
+                     ((epoch_ms(ts) // 1000) - (event_id % 3) * 2) * 1000 AS created_ms
+              FROM events
+            )
+            SELECT 'prod' AS stack,
+                   CAST(386 + event_id % 10 AS VARCHAR) AS instance,
+                   'VERIFICATION_SUBMISSION' AS objecttype,
+                   CASE WHEN (event_id % 3) * 2000 > 1000
+                        THEN 'UPDATE' ELSE 'CREATE' END AS changetype,
+                   change_ms AS changetimestamp,
+                   epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS snapshottimestamp,
+                   user_id AS userid,
+                   CAST(event_id AS VARCHAR) AS ver_id,
+                   created_ms,
+                   CAST(user_id AS VARCHAR) || '@x.org' AS email,
+                   CASE WHEN event_id % 6 != 0
+                        THEN 'city-' || CAST(event_id % 9 AS VARCHAR) END AS location,
+                   'orcid-' || CAST(user_id AS VARCHAR) AS orcid,
+                   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS n_history,
+                   created_ms AS sh1_created_ms,
+                   'SUBMITTED' AS sh1_state,
+                   CASE WHEN event_id % 3 = 0 THEN created_ms
+                        ELSE created_ms + 100000 END AS shl_created_ms,
+                   CASE WHEN event_id % 3 = 0 THEN 'SUBMITTED'
+                        WHEN event_id % 2 = 0 THEN 'APPROVED'
+                        ELSE 'REJECTED' END AS shl_state,
+                   CASE WHEN event_id % 3 != 0 AND event_id % 2 = 1
+                        THEN 'r1' END AS shl_reason,
+                   'f-' || CAST(event_id AS VARCHAR) || '.pdf' AS att_name,
+                   CAST(event_id AS VARCHAR) AS att_id,
+                   CAST(year(ts) AS VARCHAR) AS year,
+                   lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+                   lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+            FROM base
+        """,
+        "backfill_old_dwh_downloads": """
+            WITH bulk AS (SELECT * FROM events WHERE event_id % 2 = 0),
+            single AS (SELECT * FROM events WHERE event_id % 2 = 1),
+            bulk_rows AS (
+              SELECT epoch_ms(ts) AS ts_ms, 'prod' AS stack, '123' AS instance,
+                     strftime(ts, '%Y-%m-%d') AS record_date,
+                     user_id, NULL::BIGINT AS project_id,
+                     CAST(event_id AS VARCHAR) AS downloaded_file_handle_id,
+                     CAST(event_id * 10 AS VARCHAR) AS file_handle_id,
+                     CAST(event_id AS VARCHAR) AS association_object_id,
+                     'FileEntity' AS association_object_type
+              FROM bulk
+              UNION ALL
+              SELECT epoch_ms(ts), 'prod', '123', strftime(ts, '%Y-%m-%d'),
+                     user_id, NULL::BIGINT, CAST(event_id AS VARCHAR),
+                     CAST(event_id * 10 + 1 AS VARCHAR),
+                     CAST(event_id AS VARCHAR), 'TableEntity'
+              FROM bulk WHERE event_id % 3 != 0
+            ),
+            single_rows AS (
+              SELECT epoch_ms(ts) AS ts_ms, 'prod' AS stack, '123' AS instance,
+                     strftime(ts, '%Y-%m-%d') AS record_date,
+                     user_id, NULL::BIGINT AS project_id,
+                     NULL::VARCHAR AS downloaded_file_handle_id,
+                     CAST(event_id AS VARCHAR) AS file_handle_id,
+                     CAST(event_id % 100 AS VARCHAR) AS association_object_id,
+                     'FileEntity' AS association_object_type
+              FROM single
+            )
+            SELECT * FROM bulk_rows UNION ALL SELECT * FROM single_rows
+        """,
+        "backfill_access_records": """
+            SELECT 'sess-' || CAST(event_id AS VARCHAR) AS session_id,
+                   epoch_ms(ts) AS payload_ms,
+                   user_id AS payload_user_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+                   '/repo/v1/entity/syn' || CAST(event_id AS VARCHAR) AS request_url,
+                   CASE WHEN event_id % 5 != 0
+                        THEN 'https://www.synapse.org' END AS origin,
+                   event_id % 64 AS thread_id,
+                   event_id % 900 + 3 AS elapse_ms,
+                   (event_id % 11 != 0) AS success,
+                   CASE WHEN event_id % 11 = 0 THEN 500 ELSE 200 END AS response_status,
+                   strftime(ts, '%Y-%m-%d') AS payload_date,
+                   'prod' AS stack,
+                   '000000123' AS instance,
+                   epoch_ms(ts) AS ts_ms
+            FROM events
+        """,
+        "backfill_kinesis_downloads": """
+            SELECT epoch_ms(ts) AS ts_ms, 'prod' AS stack, '123' AS instance,
+                   strftime(ts, '%Y-%m-%d') AS record_date,
+                   user_id, event_id % 100 AS project_id,
+                   NULL::VARCHAR AS downloaded_file_handle_id,
+                   CAST(event_id AS VARCHAR) AS file_handle_id,
+                   CAST(event_id AS VARCHAR) AS association_object_id,
+                   'FileEntity' AS association_object_type
             FROM events
         """,
         "user_profile_job": """

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "duplication_stats",
     "embedding_dedup_incremental",
     "dedup_stream_state",
+    "backfill_verifications",
+    "backfill_old_dwh_downloads",
 ]
 
 # comma-separated query names to exclude (bisection/debug aid)
