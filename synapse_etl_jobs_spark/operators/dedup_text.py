@@ -214,6 +214,32 @@ def capped_group_stats(
     )
 
 
+def bucket_size_histogram(
+    rows: DataFrame,
+    group_cols: Sequence[str] = ("band", "bucket"),
+) -> DataFrame:
+    """Power-of-two histogram of group sizes:
+    ``(log2_size, n_groups, max_size)`` — the skew-observability feed
+    for picking ``max_bucket_size`` (and for spotting boilerplate
+    families growing at 100×). Output is BOUNDED (≤64 rows — one per
+    power of two), so collecting it for a metrics/lineage row is safe at
+    any corpus size; the cost is one partial-agg pass over ``rows``.
+    """
+    sizes = rows.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        sizes.groupBy(
+            F.floor(F.log2("_n")).cast("int").alias("log2_size")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("_n").alias("max_size"),
+        )
+        .orderBy("log2_size")
+    )
+
+
 def exact_duplicate_map(
     df: DataFrame,
     *,

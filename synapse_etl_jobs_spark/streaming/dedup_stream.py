@@ -50,6 +50,7 @@ between storage buckets, which per-bucket LWW reduction forbids).
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,6 +119,7 @@ def dedup_stream_into_table(
     broadcast_probe: bool = True,
     prune_index_scan: bool = True,
     prune_max_values: int = 200_000,
+    metrics_path: str | None = None,
 ) -> Any:
     """Tail a document stream into a near-dup-free corpus table.
 
@@ -141,6 +143,14 @@ def dedup_stream_into_table(
     to the driver and mapped to storage buckets offline; above
     ``prune_max_values`` distinct hashes every storage bucket is hit
     anyway, so the probe falls back to the full index view.
+
+    ``metrics_path`` (opt-in): append one JSON line per applied batch —
+    batch id, rows in/kept, and the power-of-two (band, bucket) group-
+    size histogram of the batch's signatures (``bucket_size_histogram``,
+    bounded ≤64 rows). This is the skew-observability feed for picking
+    ``max_bucket_size``: a boilerplate family showing up at 100× appears
+    here as mass in the high log2 bins long before it degrades the
+    probe join. Driver-side append of O(64) rows per batch.
     """
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
@@ -212,6 +222,29 @@ def dedup_stream_into_table(
                 ),
                 stream_id=stream_id, batch_id=batch_id,
             )
+            if metrics_path is not None:
+                # bounded (≤64 rows) skew histogram of the batch's
+                # signature groups; best-effort observability, written
+                # AFTER both commits so a metrics line implies the batch
+                # landed (a missing line never implies it didn't — crash
+                # after commit loses only the metrics row)
+                from synapse_etl_jobs_spark.operators.dedup_text import (
+                    bucket_size_histogram,
+                )
+
+                hist = [
+                    {"log2_size": r["log2_size"], "n_groups": r["n_groups"],
+                     "max_size": r["max_size"]}
+                    for r in bucket_size_histogram(new_index).collect()
+                ]
+                line = json.dumps({
+                    "batch_id": int(batch_id),
+                    "rows_in": batch_df.count(),
+                    "rows_kept": kept.count(),
+                    "bucket_histogram": hist,
+                })
+                with open(metrics_path, "a") as f:
+                    f.write(line + "\n")
         finally:
             kept.unpersist()
 

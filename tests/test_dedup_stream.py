@@ -196,3 +196,38 @@ def test_index_rebuild_recovers_from_docs_marker(spark, tmp_path):
     _run(spark, tmp_path, docs2, index2, src, str(tmp_path / "ckpt2"))
     assert LakeTable.load(spark, docs.path).manifest.table_version == v_docs
     assert index2.read().count() == 2 * LSH["bands"]
+
+
+def test_metrics_path_writes_batch_histograms(spark, tmp_path):
+    """Opt-in skew observability: one JSON line per applied batch with
+    rows in/kept and the bounded (band, bucket) size histogram."""
+    import json
+
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,
+        num_buckets=4,
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics.jsonl")
+    spark.createDataFrame(B1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    dedup_stream_into_table(
+        docs, index, stream, ckpt, threshold=1.0,
+        metrics_path=metrics, **LSH,
+    )
+    lines = [json.loads(x) for x in open(metrics)]
+    assert len(lines) == 1
+    m = lines[0]
+    assert m["rows_in"] == 3 and m["rows_kept"] == 2
+    # 2 survivors x 8 bands, all singleton groups -> one log2=0 bin
+    assert m["bucket_histogram"] == [
+        {"log2_size": 0, "n_groups": 2 * LSH["bands"], "max_size": 1}
+    ]
+    # exactly-once replay appends no new metrics line
+    stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    dedup_stream_into_table(
+        docs, index, stream2, ckpt, threshold=1.0,
+        metrics_path=metrics, **LSH,
+    )
+    assert len(open(metrics).readlines()) == 1

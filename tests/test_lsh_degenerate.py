@@ -129,3 +129,21 @@ def test_guards_default_off_bitwise_identical(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df, **LSH).collect()}
     assert a == {(1, 2)}
+
+
+def test_bucket_size_histogram_bounded_and_correct(spark, boilerplate):
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        bucket_size_histogram, minhash_index,
+    )
+
+    ix = minhash_index(boilerplate, **LSH)
+    hist = {r["log2_size"]: (r["n_groups"], r["max_size"])
+            for r in bucket_size_histogram(ix).collect()}
+    assert len(hist) <= 64  # bounded by construction
+    # the K_CLONES family fills one bucket per band: its bin holds
+    # `bands` groups of size >= K_CLONES
+    big = max(hist)
+    assert hist[big][0] >= LSH["bands"] and hist[big][1] >= K_CLONES
+    # total groups = sum over bins
+    n_groups = ix.select("band", "bucket").distinct().count()
+    assert sum(n for n, _ in hist.values()) == n_groups

@@ -194,14 +194,20 @@ def _index_probe_plan_check(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="ixprobe_")
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         # the production shape: index PERSISTED, read back as a plain scan
         minhash_index(d).write.mode("overwrite").parquet(tmp)
         ix = spark.read.parquet(tmp)
         batch = d.limit(64)
+        # AQE off for the STRUCTURAL check: executedPlan is then the
+        # plain physical tree (exchanges inserted, no adaptive wrappers
+        # / query-stage nodes to unwrap); sparkPlan would show NO
+        # exchanges at all (EnsureRequirements hasn't run there)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         probe = minhash_index_probe(batch, ix)
         txt = plan_text(probe)
-        plan = probe._jdf.queryExecution().sparkPlan()
+        plan = probe._jdf.queryExecution().executedPlan()
         nodes = _jnodes(plan)
         problems = []
         joins = [n for n in nodes if n.nodeName() == "BroadcastHashJoin"]
@@ -235,6 +241,7 @@ def _index_probe_plan_check(spark, sf_dir):
                     )
         return "minhash_index_probe_broadcast", txt, problems
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
