@@ -2206,8 +2206,13 @@ def q_minhash_dedup_full(spark, sf_dir) -> DataFrame:
     from synapse_etl_jobs_spark.operators.dedup_text import minhash_dedup
 
     aug = _augmented_documents(spark, sf_dir)
+    # collapse_exact: the production scale guard (boilerplate clusters
+    # enter LSH as one representative); survivor set provably invariant
+    # (tests/test_lsh_degenerate.py), and the copy-augmented corpus is
+    # exactly the shape it accelerates
     return minhash_dedup(
-        aug, threshold=1.0, shingle_k=5, num_hashes=32, bands=8
+        aug, threshold=1.0, shingle_k=5, num_hashes=32, bands=8,
+        collapse_exact=True,
     ).select("doc_id", "lang", "n_chars")
 
 
@@ -2243,8 +2248,12 @@ def q_minhash_dedup_incremental(spark, sf_dir) -> DataFrame:
     )
     lsh = dict(shingle_k=5, num_hashes=32, bands=8)
     ix = minhash_index(corpus, **lsh)
+    # production scale guards on: exact-dup pre-collapse (the copy
+    # slices are exactly what it accelerates; survivor set provably
+    # invariant) + broadcast probe (index side never shuffles)
     return minhash_dedup_incremental(
-        new, corpus, index=ix, threshold=1.0, **lsh
+        new, corpus, index=ix, threshold=1.0, collapse_exact=True,
+        broadcast_probe=True, **lsh
     ).select("doc_id", "lang", "n_chars")
 
 
@@ -2337,6 +2346,10 @@ def q_dedup_stream_state(spark, sf_dir) -> DataFrame:
     dedup_stream_into_table(
         docs, index, stream, os.path.join(base, "ckpt"),
         threshold=1.0, shingle_k=5, num_hashes=32, bands=8,
+        # production scale guards: exact-dup pre-collapse (survivor-set
+        # invariant at threshold 1.0) + broadcast probe + bucket-pruned
+        # index scan (both defaults, stated for the record)
+        collapse_exact=True, broadcast_probe=True, prune_index_scan=True,
     )
     return docs.read().select("doc_id", "lang", "n_chars")
 
