@@ -71,15 +71,17 @@ def backfill_access_records(
         ]
     ).alias("payload")
     ts_ms = F.col("timestamp").cast("bigint")
-    y, m, d = year_month_day(millis_to_timestamp(ts_ms))
+    ts = millis_to_timestamp(ts_ms)
+    # the reference stores year as an INT but month/day as '%02d'-padded
+    # strings (:23-25) — so the helper's string year is discarded for
+    # F.year() below
+    _, m, d = year_month_day(ts)
     out = source_df.select(
         payload,
         F.col("stack").cast("string").alias("stack"),
         F.col("instance").cast("string").alias("instance"),
         ts_ms.alias("timestamp"),
-        # the reference stores year as an int and month/day as
-        # '%02d'-padded strings (:23-25)
-        F.year(millis_to_timestamp(ts_ms)).alias("year"),
+        F.year(ts).alias("year"),
         m, d,
     )
     (
@@ -88,4 +90,13 @@ def backfill_access_records(
         .option("compression", "gzip")
         .json(destination_path)
     )
-    return spark.read.option("recursiveFileLookup", "true").json(destination_path)
+    # partition-discovery read-back (basePath, as the sibling
+    # file-download backfills) so year/month/day come back as columns;
+    # the explicit writer schema pins their TYPES — inference would cast
+    # the '%02d' month/day directory values to ints and break the
+    # reference's zero-padded-string contract
+    return (
+        spark.read.schema(out.schema)
+        .option("basePath", destination_path)
+        .json(destination_path)
+    )

@@ -56,10 +56,26 @@ def sample_boundaries(
     value and the quantile boundaries misrepresent row frequencies.
     Row-hashing keeps the draw uniform over rows while staying
     deterministic given the data (exact full-row duplicates still share
-    a draw — acceptable: they are interchangeable rows).
+    a draw — acceptable: they are interchangeable rows). Map-typed
+    payload columns are excluded from the hash (``xxhash64`` rejects
+    MapType); the sampled columns themselves are always orderable, hence
+    hashable, so the hash never degenerates to a constant.
     """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
     n_buckets = 1 << bits
-    row_cols = [F.col(x) for x in df.columns]
+    row_cols = [
+        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+    ]
     out: dict[str, list] = {}
     for c in cols:
         vals = [

@@ -58,14 +58,61 @@ def _payload_cols(df: DataFrame, keys: Sequence[str]) -> list[str]:
     return [c for c in df.columns if c not in set(keys)]
 
 
-def _lww_agg(payload, seq_col):
+def _contains_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _unorderable_payload(df: DataFrame, payload: Sequence[str]) -> list[str]:
+    """Payload columns Spark cannot put in an ordering struct (MapType
+    anywhere in the type): ``max(struct(...))`` raises
+    DATATYPE_MISMATCH.INVALID_ORDERING_TYPE on them. A CDC payload with
+    drifting JSON routinely carries map columns, so the LWW reduction
+    serializes such columns with ``to_json`` inside the ordering struct
+    and reconstructs them with ``from_json`` after the winner is picked
+    (lossless for JSON-representable maps; equal-``seq`` ties on such
+    columns break by the JSON rendering — still deterministic given the
+    data)."""
+    return [c for c in payload if _contains_map(df.schema[c].dataType)]
+
+
+def _lww_agg(payload, seq_col, unorderable: Sequence[str] = ()):
     """max(struct(seq, payload)) — struct comparison is field-order, so
     ``seq`` decides and payload fields break ties deterministically.
     ``_s`` duplicates the seq column to keep field names unique while
-    guaranteeing it sorts first."""
+    guaranteeing it sorts first. Columns in ``unorderable`` enter the
+    struct as their ``to_json`` rendering (see ``_unorderable_payload``)."""
+    uo = set(unorderable)
     return F.max(
-        F.struct(F.col(seq_col).alias("_s"), *[F.col(c) for c in payload])
+        F.struct(
+            F.col(seq_col).alias("_s"),
+            *[
+                (F.to_json(F.col(c)) if c in uo else F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
     ).alias("_top")
+
+
+def _top_cols(df: DataFrame, payload: Sequence[str], unorderable: Sequence[str]):
+    """The winner's payload columns out of ``_top``, decoding any
+    ``to_json``-serialized unorderable columns back to their original
+    types (``df`` supplies the schema — pass the PRE-aggregate frame)."""
+    uo = set(unorderable)
+    out = []
+    for c in payload:
+        v = F.col(f"_top.{c}")
+        if c in uo:
+            v = F.from_json(v, df.schema[c].dataType)
+        out.append(v.alias(c))
+    return out
 
 
 def dedup_lww(
@@ -88,9 +135,9 @@ def dedup_lww(
     if strategy != "agg":
         raise ValueError(f"unknown dedup strategy: {strategy}")
     payload = _payload_cols(df, keys)
-    agg = _lww_agg(payload, seq_col)
-    out = df.groupBy(*keys).agg(agg)
-    return out.select(*keys, *[F.col(f"_top.{c}").alias(c) for c in payload])
+    uo = _unorderable_payload(df, payload)
+    out = df.groupBy(*keys).agg(_lww_agg(payload, seq_col, uo))
+    return out.select(*keys, *_top_cols(df, payload, uo))
 
 
 def dedup_lww_semijoin(
@@ -146,9 +193,9 @@ def dedup_lww_semijoin(
             cond = cond & df[k].eqNullSafe(build[f"_b_{k}"])
         cand = df.join(build, cond, "leftsemi")
     payload = _payload_cols(df, keys)
-    agg = _lww_agg(payload, seq_col)
-    out = cand.groupBy(*keys).agg(agg)
-    return out.select(*keys, *[F.col(f"_top.{c}").alias(c) for c in payload])
+    uo = _unorderable_payload(df, payload)
+    out = cand.groupBy(*keys).agg(_lww_agg(payload, seq_col, uo))
+    return out.select(*keys, *_top_cols(df, payload, uo))
 
 
 def dedup_lww_salted(
@@ -165,14 +212,15 @@ def dedup_lww_salted(
     per key to the final winner — a tiny shuffle.
     """
     payload = _payload_cols(df, keys)
+    uo = _unorderable_payload(df, payload)
     salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).alias("_salt")
-    agg = _lww_agg(payload, seq_col)
+    agg = _lww_agg(payload, seq_col, uo)
 
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
         .agg(agg)
-        .select(*keys, *[F.col(f"_top.{c}").alias(c) for c in payload])
+        .select(*keys, *_top_cols(df, payload, uo))
     )
     final = partial.groupBy(*keys).agg(agg)
-    return final.select(*keys, *[F.col(f"_top.{c}").alias(c) for c in payload])
+    return final.select(*keys, *_top_cols(df, payload, uo))

@@ -214,6 +214,26 @@ def capped_group_stats(
     )
 
 
+def cap_probed_index(
+    index_rows: DataFrame,
+    probe_rows: DataFrame,
+    max_group_size: int,
+    group_cols: Sequence[str] = ("band", "bucket"),
+) -> DataFrame:
+    """Degenerate-group cap for an INDEX being probed: broadcast-semijoin
+    the index to the probe's DISTINCT group keys, then drop groups above
+    ``max_group_size``. The semijoin keeps whole groups, so group sizes
+    (hence the cap decision) are unchanged by it; the cap's count window
+    shuffles only O(probed index rows), never the whole index. The one
+    place the cap-after-semijoin soundness argument lives — used by the
+    MinHash probe paths here and the RP-LSH paths in ``similarity``."""
+    keys = list(group_cols)
+    probed = F.broadcast(probe_rows.select(*keys).distinct())
+    return cap_bucket_groups(
+        index_rows.join(probed, keys, "leftsemi"), max_group_size, group_cols
+    )
+
+
 def bucket_size_histogram(
     rows: DataFrame,
     group_cols: Sequence[str] = ("band", "bucket"),
@@ -785,10 +805,12 @@ def minhash_index_probe(
     ).select(F.col("_id").alias("new_id"), "band", "bucket")
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     if max_bucket_size is not None:
-        probed = F.broadcast(nb.select("band", "bucket").distinct())
-        ix = cap_bucket_groups(
-            ix.join(probed, ["band", "bucket"], "leftsemi"), max_bucket_size
-        )
+        # the cap makes nb feed TWO plan branches (the probed-bucket
+        # semijoin and the probe join itself) whose BroadcastExchanges
+        # differ, so ReuseExchange cannot collapse them — cut lineage so
+        # the batch is signed ONCE per probe, not twice
+        nb = nb.localCheckpoint()
+        ix = cap_probed_index(ix, nb, max_bucket_size)
     if broadcast_probe:
         nb = F.broadcast(nb)
     return (
@@ -817,6 +839,7 @@ def minhash_dedup_incremental(
     max_bucket_size: int | None = None,
     broadcast_probe: bool = True,
     index_loader=None,
+    observe_banding=None,
 ) -> DataFrame:
     """Rows of ``new_df`` that survive near-dup removal against an
     ALREADY-DEDUPED corpus and within the batch itself.
@@ -859,7 +882,14 @@ def minhash_dedup_incremental(
       ONLY the storage buckets the probe can touch (see
       ``streaming/dedup_stream.py``), never scanning the whole index.
       Returning a superset of the matching rows is always sound: the
-      (band, bucket) equi-join discards the rest."""
+      (band, bucket) equi-join discards the rest.
+    - ``observe_banding``: callable receiving the batch's checkpointed
+      banding rows ``(_id, band, bucket)`` — post-collapse, PRE-cap, the
+      exact frame entering the probe/self joins. The observability hook:
+      ``bucket_size_histogram`` over it is the cap-tuning signal, taken
+      where the O(k²) hazard actually lives (a histogram over the
+      post-dedup survivors would measure the skew AFTER dedup removed
+      it). Near-free — the rows are already materialized."""
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
     if collapse_exact:
@@ -880,6 +910,8 @@ def minhash_dedup_incremental(
     nb = _band_buckets(
         new_df, id_col=id_col, text_col=text_col, **lsh
     ).localCheckpoint()
+    if observe_banding is not None:
+        observe_banding(nb)
     if index_loader is not None:
         index = index_loader(nb.select("band", "bucket").distinct())
     elif index is None:
@@ -887,10 +919,7 @@ def minhash_dedup_incremental(
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     nb_probe = nb.select(F.col("_id").alias("new_id"), "band", "bucket")
     if max_bucket_size is not None:
-        probed = F.broadcast(nb.select("band", "bucket").distinct())
-        ix = cap_bucket_groups(
-            ix.join(probed, ["band", "bucket"], "leftsemi"), max_bucket_size
-        )
+        ix = cap_probed_index(ix, nb, max_bucket_size)
     if broadcast_probe:
         nb_probe = F.broadcast(nb_probe)
     cross = (

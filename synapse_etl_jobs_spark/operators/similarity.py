@@ -580,13 +580,13 @@ def rp_index_probe(
     ).select(F.col(id_col).alias("new_id"), "table", "sig")
     ix = index.select(F.col(id_col).alias("corpus_id"), "table", "sig")
     if max_bucket_size is not None:
-        from synapse_etl_jobs_spark.operators.dedup_text import cap_bucket_groups
+        from synapse_etl_jobs_spark.operators.dedup_text import cap_probed_index
 
-        probed = F.broadcast(nb.select("table", "sig").distinct())
-        ix = cap_bucket_groups(
-            ix.join(probed, ["table", "sig"], "leftsemi"),
-            max_bucket_size, group_cols=("table", "sig"),
-        )
+        # the cap makes nb feed TWO plan branches whose
+        # BroadcastExchanges differ (ReuseExchange can't collapse them)
+        # — cut lineage so the batch is signed ONCE per probe, not twice
+        nb = nb.localCheckpoint()
+        ix = cap_probed_index(ix, nb, max_bucket_size, group_cols=("table", "sig"))
     if broadcast_probe:
         nb = F.broadcast(nb)
     return (

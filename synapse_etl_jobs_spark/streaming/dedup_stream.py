@@ -145,12 +145,16 @@ def dedup_stream_into_table(
     anyway, so the probe falls back to the full index view.
 
     ``metrics_path`` (opt-in): append one JSON line per applied batch —
-    batch id, rows in/kept, and the power-of-two (band, bucket) group-
-    size histogram of the batch's signatures (``bucket_size_histogram``,
-    bounded ≤64 rows). This is the skew-observability feed for picking
-    ``max_bucket_size``: a boilerplate family showing up at 100× appears
-    here as mass in the high log2 bins long before it degrades the
-    probe join. Driver-side append of O(64) rows per batch.
+    batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
+    histograms: ``bucket_histogram`` over the (band, bucket) group sizes
+    of the banding that ENTERED the probe/self joins (post-collapse,
+    pre-cap — the ``max_bucket_size`` tuning signal, taken where the
+    O(k²) hazard lives), and ``exact_class_histogram`` over the raw
+    batch's exact-duplicate class sizes (one sha2 digest per doc — a
+    k-clone boilerplate family appears as one size-k class even when
+    ``collapse_exact`` folds it before banding). A family growing at
+    100× shows up as mass in the high log2 bins long before it degrades
+    the probe join. Driver-side append of O(64) rows per batch.
     """
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
@@ -196,11 +200,21 @@ def dedup_stream_into_table(
         # NOT pre_reduced: a batch may legally carry the same id twice
         # (at-least-once upstream producers); merge's LWW reduction
         # resolves equal-seq ties deterministically by payload order
+        # metrics capture the batch's banding AS IT ENTERS the probe /
+        # self joins (post-collapse, pre-cap, localCheckpointed inside
+        # minhash_dedup_incremental) — a histogram over the post-dedup
+        # survivors would measure the skew AFTER dedup removed it
+        captured: dict[str, DataFrame] = {}
         kept = minhash_dedup_incremental(
             batch_df, corpus, index_loader=load_index,
             id_col=id_col, text_col=text_col, threshold=threshold,
             collapse_exact=collapse_exact, max_bucket_size=max_bucket_size,
-            broadcast_probe=broadcast_probe, **lsh,
+            broadcast_probe=broadcast_probe,
+            observe_banding=(
+                (lambda nb: captured.__setitem__("nb", nb))
+                if metrics_path is not None else None
+            ),
+            **lsh,
         ).persist()  # two merges below consume it — compute once
         try:
             new_index = minhash_index(
@@ -229,19 +243,41 @@ def dedup_stream_into_table(
                 # landed (a missing line never implies it didn't — crash
                 # after commit loses only the metrics row)
                 from synapse_etl_jobs_spark.operators.dedup_text import (
-                    bucket_size_histogram,
+                    bucket_size_histogram, shingle_set_hash,
                 )
 
-                hist = [
-                    {"log2_size": r["log2_size"], "n_groups": r["n_groups"],
-                     "max_size": r["max_size"]}
-                    for r in bucket_size_histogram(new_index).collect()
-                ]
+                def _hist(rows, group_cols):
+                    return [
+                        {"log2_size": r["log2_size"],
+                         "n_groups": r["n_groups"],
+                         "max_size": r["max_size"]}
+                        for r in bucket_size_histogram(
+                            rows, group_cols=group_cols
+                        ).collect()
+                    ]
+
+                # (band, bucket) group sizes of the banding that entered
+                # the joins (checkpointed — one cheap agg pass); with
+                # collapse_exact the clone families are already folded
+                # here, so pair it with the exact-class histogram below
+                band_hist = _hist(captured["nb"], ["band", "bucket"])
+                # exact-duplicate class sizes over the RAW batch (one
+                # sha2 digest per doc): a k-clone boilerplate family
+                # shows up as one size-k class even when collapse_exact
+                # folds it before banding — the docstring's "mass in the
+                # high log2 bins" signal for cap/collapse tuning
+                class_hist = _hist(
+                    batch_df.select(
+                        shingle_set_hash(text_col, shingle_k).alias("_dg")
+                    ),
+                    ["_dg"],
+                )
                 line = json.dumps({
                     "batch_id": int(batch_id),
                     "rows_in": batch_df.count(),
                     "rows_kept": kept.count(),
-                    "bucket_histogram": hist,
+                    "bucket_histogram": band_hist,
+                    "exact_class_histogram": class_hist,
                 })
                 with open(metrics_path, "a") as f:
                     f.write(line + "\n")

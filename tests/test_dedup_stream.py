@@ -200,7 +200,10 @@ def test_index_rebuild_recovers_from_docs_marker(spark, tmp_path):
 
 def test_metrics_path_writes_batch_histograms(spark, tmp_path):
     """Opt-in skew observability: one JSON line per applied batch with
-    rows in/kept and the bounded (band, bucket) size histogram."""
+    rows in/kept, the (band, bucket) size histogram of the banding that
+    ENTERED the joins (pre-dedup — a histogram over the survivors would
+    measure the skew after dedup removed it), and the raw batch's
+    exact-duplicate class-size histogram."""
     import json
 
     docs, index = create_dedup_tables(
@@ -220,9 +223,18 @@ def test_metrics_path_writes_batch_histograms(spark, tmp_path):
     assert len(lines) == 1
     m = lines[0]
     assert m["rows_in"] == 3 and m["rows_kept"] == 2
-    # 2 survivors x 8 bands, all singleton groups -> one log2=0 bin
+    # the banding entering the joins covers ALL 3 batch docs: the exact
+    # duplicates (2, 3) share every band bucket -> 8 groups of size 2,
+    # plus doc 1's 8 singletons. The old survivor-based histogram showed
+    # only singletons — the skew signal vanished with the dups.
     assert m["bucket_histogram"] == [
-        {"log2_size": 0, "n_groups": 2 * LSH["bands"], "max_size": 1}
+        {"log2_size": 0, "n_groups": LSH["bands"], "max_size": 1},
+        {"log2_size": 1, "n_groups": LSH["bands"], "max_size": 2},
+    ]
+    # raw-batch exact classes: {1} and {2, 3}
+    assert m["exact_class_histogram"] == [
+        {"log2_size": 0, "n_groups": 1, "max_size": 1},
+        {"log2_size": 1, "n_groups": 1, "max_size": 2},
     ]
     # exactly-once replay appends no new metrics line
     stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
