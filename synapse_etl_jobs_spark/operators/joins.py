@@ -30,6 +30,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _tie_hash(right: DataFrame, rcols: Sequence[str]):
+    """Deterministic tiebreak hash over the right payload columns.
+    xxhash64 rejects map-containing types (HASH_MAP_TYPE), so such
+    columns enter the hash as their ``to_json`` rendering."""
+    from synapse_etl_jobs_spark.operators.dedup import _contains_map
+
+    if not rcols:
+        return F.lit(0).cast("long").alias("_tie")
+    parts = [
+        F.to_json(F.col(c)) if _contains_map(right.schema[c].dataType)
+        else F.col(c)
+        for c in rcols
+    ]
+    return F.xxhash64(*parts).alias("_tie")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -76,8 +92,7 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         F.col(right_ts).cast("double").alias("_rt"),
         *[F.col(c).alias(out_rcols[c]) for c in rcols],
-        F.xxhash64(*[F.col(c) for c in rcols]).alias("_tie") if rcols
-        else F.lit(0).cast("long").alias("_tie"),
+        _tie_hash(right, rcols),
     )
     u = l_tag.unionByName(r_tag)
 

@@ -70,10 +70,20 @@ def collapse_patches(
     stored row. ``_wipe_base`` is true when the batch contains a DELETE,
     meaning stored values must NOT be inherited (the delete wiped them).
     """
+    from synapse_etl_jobs_spark.operators.dedup import _contains_map
+
     keys = list(key_cols)
     seq = F.col(seq_col).cast("long")
     op = F.upper(F.col(op_col))
     is_del = op == "DELETE"
+
+    # map-containing columns can't ride an ordering struct
+    # (INVALID_ORDERING_TYPE) — serialize them to JSON inside the
+    # per-column winner struct and decode after the winner is picked,
+    # exactly as dedup_lww does for whole-row LWW
+    unorderable = {
+        c for c in payload_cols if _contains_map(events.schema[c].dataType)
+    }
 
     aggs = [
         F.max(F.when(is_del, seq)).alias(_DEL_SEQ),
@@ -83,9 +93,10 @@ def collapse_patches(
         sets_c = (op == "UPSERT") | (
             (op == "PATCH") & F.array_contains(F.col(set_col), c)
         )
+        v = F.to_json(F.col(c)) if c in unorderable else F.col(c)
         aggs.append(
             F.max(
-                F.when(sets_c, F.struct(seq.alias("s"), F.col(c).alias("v")))
+                F.when(sets_c, F.struct(seq.alias("s"), v.alias("v")))
             ).alias(f"_w_{c}")
         )
 
@@ -107,7 +118,10 @@ def collapse_patches(
     for c in payload_cols:
         w = F.col(f"_w_{c}")
         set_c = w.isNotNull() & after_del(w["s"]) & ~is_delete
-        out_cols.append(F.when(set_c, w["v"]).alias(c))
+        v = w["v"]
+        if c in unorderable:
+            v = F.from_json(v, events.schema[c].dataType)
+        out_cols.append(F.when(set_c, v).alias(c))
         out_cols.append(set_c.alias(set_flag_col(c)))
     out_cols.append(F.col(_DEL_SEQ).isNotNull().alias("_wipe_base"))
     return g.select(*out_cols)

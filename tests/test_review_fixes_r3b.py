@@ -112,6 +112,48 @@ def test_lww_dedup_with_map_payload_all_strategies(spark):
         assert got == want, got
 
 
+def test_collapse_patches_with_map_payload(spark):
+    """Per-column LWW (PATCH collapse) has the same INVALID_ORDERING_TYPE
+    hazard as whole-row LWW: a map-typed payload column now rides the
+    per-column winner struct as to_json and decodes after the pick."""
+    from synapse_etl_jobs_spark.operators.patch import collapse_patches
+
+    ev = spark.createDataFrame(
+        [("k1", 1, "UPSERT", {"v": "old"}, 10, None),
+         ("k1", 3, "PATCH", {"v": "new", "x": "1"}, None, ["attrs"]),
+         ("k1", 2, "PATCH", None, 20, ["n"]),
+         ("k2", 1, "UPSERT", {"z": "9"}, 5, None),
+         ("k2", 2, "DELETE", None, None, None)],
+        "k string, seq long, op string, attrs map<string,string>, "
+        "n long, set_cols array<string>",
+    )
+    got = {
+        r["k"]: (r["op"], r["attrs"], r["n"])
+        for r in collapse_patches(ev, ["k"], ["attrs", "n"]).collect()
+    }
+    assert got["k1"] == ("UPSERT", {"v": "new", "x": "1"}, 20)
+    assert got["k2"][0] == "DELETE"
+
+
+def test_asof_join_with_map_payload_on_right(spark):
+    """The as-of tiebreak hash rejects map-containing right payloads
+    (HASH_MAP_TYPE) — such columns now enter the hash as to_json."""
+    from synapse_etl_jobs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 30)], "id string, t long")
+    right = spark.createDataFrame(
+        [("k", 5, {"s": "a"}), ("k", 25, {"s": "b"})],
+        "id string, rt long, attrs map<string,string>")
+    got = {
+        r["t"]: r["attrs_r"]
+        for r in asof_join(
+            left, right, on=["id"], left_ts="t", right_ts="rt"
+        ).collect()
+    }
+    assert got == {10: {"s": "a"}, 30: {"s": "b"}}
+
+
 def test_lake_merge_and_zorder_compact_with_map_column(spark, tmp_path):
     from pyspark.sql.types import MapType, StringType, StructType
 

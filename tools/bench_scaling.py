@@ -62,10 +62,19 @@ t = LakeTable.create(spark, tmp+"/t", schema, ["repo","path","commit"],
 t0 = time.time()
 ReplayDriver(t, batch_events=(n+batches-1)//batches).replay(ev, seq_start=0, seq_end=n)
 wall = time.time() - t0
-rows = t.read().count()
+# north-rule check: final-state equality ACROSS PARALLELISM LEVELS by
+# per-row content sha256 — xor of row hashes is an order-independent
+# set checksum (final state is unique per key, so xor can't cancel)
+from pyspark.sql import functions as F
+chk = t.read().agg(
+    F.count(F.lit(1)).alias("rows"),
+    F.expr("bit_xor(xxhash64(repo, path, commit, lang, sha2(content, 256)))")
+     .alias("sha_xor"),
+).collect()[0]
 shutil.rmtree(tmp, ignore_errors=True)
 print(json.dumps({{"cores": cores, "wall_sec": round(wall,2),
-                  "events_per_sec": round(n/wall,1), "rows": rows}}))
+                  "events_per_sec": round(n/wall,1), "rows": chk["rows"],
+                  "final_state_sha_xor": chk["sha_xor"]}}))
 """
 
 
@@ -95,6 +104,8 @@ def main():
     small = run_level(c_small, n, batches, src)
     big = run_level(c_big, n, batches, src)
     assert small["rows"] == big["rows"], "parallelism changed the result!"
+    assert small["final_state_sha_xor"] == big["final_state_sha_xor"], \
+        "parallelism changed final-state content (sha256 checksum differs)!"
     speedup = small["wall_sec"] / big["wall_sec"]
     eff = speedup / (c_big / c_small)
     print(json.dumps({
@@ -102,6 +113,7 @@ def main():
         "small": small, "big": big,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "final_state_sha_equal": True,
     }))
 
 
