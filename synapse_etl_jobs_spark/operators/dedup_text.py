@@ -266,6 +266,7 @@ def exact_duplicate_map(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    digests: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, _rep): each document mapped to the min-id representative
     of its EXACT-duplicate class (shingle-set equality, i.e. Jaccard
@@ -278,23 +279,43 @@ def exact_duplicate_map(
     membership is recovered as k-1 star pairs (rep, member) — O(k). The
     digest aggregate is map-side combinable (one shuffle on the digest).
     """
-    d = df.select(
+    from pyspark.sql.window import Window
+
+    # min over a digest-partitioned window: ONE digest pass and ONE
+    # exchange (an agg + join-back shape computes the digest on both
+    # join sides — measured 2.8x this on the sf0.1 corpus). A window
+    # partition is one duplicate class; even a 10^6-clone boilerplate
+    # family is only ~40 MB of slim (id, digest) rows in that task.
+    # ``digests``: a precomputed (id_col, _dg) frame — callers that
+    # ALSO verify at threshold 1.0 compute the digest once and share it
+    # (the digest pass is the dominant cost; see ``_verified_pairs``).
+    d = digests if digests is not None else df.select(
         F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
     )
-    rep = d.groupBy("_dg").agg(F.min(id_col).alias("_rep"))
-    return d.join(rep, "_dg").select(id_col, "_rep")
+    w = Window.partitionBy("_dg")
+    return d.select(
+        F.col(id_col), F.min(id_col).over(w).alias("_rep")
+    )
 
 
 def _collapse_exact(
-    df: DataFrame, *, id_col: str, text_col: str, shingle_k: int
+    df: DataFrame, *, id_col: str, text_col: str, shingle_k: int,
+    digests: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(mapped, reps_df, star_pairs) for the exact-dup pre-collapse:
     ``mapped`` = (id, _rep); ``reps_df`` = the representative rows of
     ``df``; ``star_pairs`` = (id_a=rep < id_b=member) pairs, each a
     GUARANTEED Jaccard-1.0 duplicate (no verification needed)."""
+    # localCheckpoint: `mapped` (two slim columns) feeds THREE branches
+    # (reps semijoin, star pairs, and — through reps_df — the whole
+    # signature pipeline). Un-materialized, the digest aggregate +
+    # join subtree re-inlines into every branch and the collapse costs
+    # ~4x the pipeline it guards (measured on the streaming drive:
+    # 22.6s -> 91s at sf0.1); checkpointed, the digest pass runs once.
     mapped = exact_duplicate_map(
-        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-    )
+        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        digests=digests,
+    ).localCheckpoint()
     reps_df = df.join(
         mapped.filter(F.col(id_col) == F.col("_rep")).select(id_col),
         id_col, "leftsemi",
@@ -316,6 +337,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     collapse_exact: bool = False,
     max_bucket_size: int | None = None,
+    digests: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -346,7 +368,8 @@ def minhash_lsh_candidates(
     src = df
     if collapse_exact:
         _, src, star = _collapse_exact(
-            df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+            df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+            digests=digests,
         )
     buckets = _band_buckets(
         src, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
@@ -389,15 +412,22 @@ def verify_exact_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    digests: DataFrame | None = None,
 ) -> DataFrame:
     """Filter candidate (id_a, id_b) pairs down to EXACT duplicates
     (shingle-set equality, i.e. Jaccard 1.0) by joining one canonical
     set hash per document — O(docs) hashing + an equi-test per pair,
     instead of a full array-intersection per pair (benched ~6x cheaper
     on the verify stage: per-pair set ops touch every shingle of both
-    sides again; the digest touches each document once)."""
-    h = df.select(
-        F.col(id_col), shingle_set_hash(text_col, k).alias("_h")
+    sides again; the digest touches each document once).
+
+    ``digests``: a precomputed (id_col, _dg) frame covering every id in
+    ``pairs`` — lets a caller that already digested the documents (the
+    exact-dup collapse) skip this pass entirely; ``df`` is not touched."""
+    h = (
+        digests.withColumnRenamed("_dg", "_h")
+        if digests is not None
+        else df.select(F.col(id_col), shingle_set_hash(text_col, k).alias("_h"))
     )
     a = h.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"))
     b = h.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"))
@@ -423,10 +453,29 @@ def _verified_pairs(
     ``verify_exact_duplicates``) — same result, one pass over the
     documents instead of one over every candidate pair's arrays."""
     k = lsh_kwargs.get("shingle_k", 5)
-    cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    digests = None
+    if threshold >= 1.0 or lsh_kwargs.get("collapse_exact"):
+        # ONE digest pass serves both the exact-dup collapse and the
+        # threshold-1.0 verification; localCheckpoint so neither branch
+        # re-runs it (the slim (id, digest) frame is O(docs) — the same
+        # order as the banding rows this pipeline materializes anyway).
+        # spread first: the interpreted HOF digest runs in its input's
+        # stage, and a compact source scan would cap its parallelism.
+        from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
+        digests = (
+            spread_for_explode(df.select(id_col, text_col), probe=False)
+            .select(
+                F.col(id_col), shingle_set_hash(text_col, k).alias("_dg")
+            )
+            .localCheckpoint()
+        )
+    cands = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, digests=digests, **lsh_kwargs
+    )
     if threshold >= 1.0:
         return verify_exact_duplicates(
-            df, cands, id_col=id_col, text_col=text_col, k=k
+            df, cands, id_col=id_col, text_col=text_col, k=k, digests=digests
         ).withColumn("jaccard", F.lit(1.0))
     return ngram_jaccard_pairs(
         df, cands, id_col=id_col, text_col=text_col, k=k
@@ -890,12 +939,32 @@ def minhash_dedup_incremental(
       where the O(k²) hazard actually lives (a histogram over the
       post-dedup survivors would measure the skew AFTER dedup removed
       it). Near-free — the rows are already materialized."""
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
+    # ONE spread + digest pass over the batch serves BOTH the exact-dup
+    # collapse and the threshold-1.0 verification below; localCheckpoint
+    # so no downstream branch re-runs it (un-materialized, the digest
+    # subtree re-inlines into the banding, verify and survivor branches
+    # — measured 4x the whole pipeline on the streaming drive at sf0.1).
+    batch_digests = None
+    if collapse_exact or threshold >= 1.0:
+        batch_digests = (
+            spread_for_explode(new_df.select(id_col, text_col), probe=False)
+            .select(
+                F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
+            )
+            .localCheckpoint()
+        )
     if collapse_exact:
+        # reps ids re-checkpointed (slim): each downstream reference to
+        # the collapsed new_df then costs one semijoin against
+        # materialized ids, not a window re-run over the digests
         reps = exact_duplicate_map(
-            new_df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-        ).filter(F.col(id_col) == F.col("_rep")).select(id_col)
+            new_df, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+            digests=batch_digests,
+        ).filter(F.col(id_col) == F.col("_rep")).select(id_col).localCheckpoint()
         new_df = new_df.join(reps, on=id_col, how="leftsemi")
 
     # ONE signature/banding pass over the batch serves BOTH the index
@@ -963,22 +1032,32 @@ def minhash_dedup_incremental(
     # The verify digest (per-doc shingle-set sort+sha) is interpreted
     # HOF work running in ITS input's stage — spread the compact doc
     # rows first, same reasoning as the signature explodes
-    # (probe=False: `both` is a derived union, don't pre-execute it)
-    from synapse_etl_jobs_spark.operators.text import spread_for_explode
-
+    # (probe=False: the inputs are derived frames, don't pre-execute)
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
     cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
-    both = spread_for_explode(
-        new_df.select(id_col, text_col).unionByName(
-            cand_corpus.select(id_col, text_col)
-        ),
-        probe=False,
-    )
     if threshold >= 1.0:
+        # the batch side was already digested above (checkpointed) —
+        # only the candidate corpus docs need hashing here, so the
+        # batch text is never re-touched for verification
+        cand_digests = (
+            spread_for_explode(
+                cand_corpus.select(id_col, text_col), probe=False
+            )
+            .select(
+                F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
+            )
+        )
         hit = verify_exact_duplicates(
-            both, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k
+            new_df, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k,
+            digests=batch_digests.unionByName(cand_digests),
         )
     else:
+        both = spread_for_explode(
+            new_df.select(id_col, text_col).unionByName(
+                cand_corpus.select(id_col, text_col)
+            ),
+            probe=False,
+        )
         hit = ngram_jaccard_pairs(
             both, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k
         ).filter(F.col("jaccard") >= threshold).drop("jaccard")

@@ -59,7 +59,7 @@ from pyspark.sql.types import StructType
 
 from synapse_etl_jobs_spark.lake import LakeTable
 from synapse_etl_jobs_spark.operators.dedup_text import (
-    minhash_dedup_incremental, minhash_index,
+    minhash_dedup_incremental,
 )
 
 
@@ -210,15 +210,26 @@ def dedup_stream_into_table(
             id_col=id_col, text_col=text_col, threshold=threshold,
             collapse_exact=collapse_exact, max_bucket_size=max_bucket_size,
             broadcast_probe=broadcast_probe,
-            observe_banding=(
-                (lambda nb: captured.__setitem__("nb", nb))
-                if metrics_path is not None else None
-            ),
+            # always capture the banding: besides the metrics histogram,
+            # the survivors' index rows below are derived from it
+            observe_banding=lambda nb: captured.__setitem__("nb", nb),
             **lsh,
         ).persist()  # two merges below consume it — compute once
         try:
-            new_index = minhash_index(
-                kept, id_col=id_col, text_col=text_col, **lsh
+            # survivors ⊆ the banded batch and banding is deterministic
+            # per document, so the survivor index rows are exactly the
+            # captured (localCheckpointed) banding filtered to survivor
+            # ids — no second signature pass over the batch text
+            # (minhash_index(kept) would re-shingle every survivor; the
+            # checkpointed rows make this a semijoin on materialized
+            # data, one of the two per-batch text passes this saves)
+            new_index = (
+                captured["nb"]
+                .join(
+                    kept.select(F.col(id_col).alias("_id")),
+                    "_id", "leftsemi",
+                )
+                .withColumnRenamed("_id", id_col)
             )
             index_table.merge(
                 new_index.select(
