@@ -204,6 +204,18 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # inter-query hygiene (NOT in the clock): entry queries
+        # localCheckpoint/persist intermediates whose JVM blocks stay
+        # pinned until the Python-side DataFrame is collected — after
+        # ~35 queries the accumulated blocks saturate the driver heap
+        # and inflate later queries 5-10x (measured: weighted_mix 0.9s
+        # solo vs 4.3s late-suite). Dropping the refs + a GC cycle lets
+        # the ContextCleaner reclaim them between queries.
+        del df, row
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     # the replay is the HEADLINE metric: measure it in a FRESH PROCESS.
     # After the 35-query suite the driver JVM is heap-saturated and a
