@@ -1466,7 +1466,12 @@ class LakeTable:
         if zorder_cols:
             from synapse_etl_jobs_spark.lake.zorder import zorder_column
 
-            cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits))
+            # keys are unique per row in the folded view, so hashing
+            # them gives a row-uniform sample draw while each sampling
+            # scan reads only (keys + the sampled column) — never the
+            # payload width
+            cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits),
+                                    hash_cols=self.manifest.key_cols)
         parts_by_bucket = None
         if target_file_mb:
             if cluster is not None:

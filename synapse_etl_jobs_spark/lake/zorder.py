@@ -39,51 +39,55 @@ def sample_boundaries(
     bits: int = 6,
     sample_rows: int = 100_000,
     seed: int = 0,
+    hash_cols: Sequence[str] | None = None,
 ) -> dict[str, list]:
     """Per-column quantile boundaries from one bounded, deterministic
     uniform sample per column.
 
-    ``orderBy(xxhash64(row, seed)).limit(n)`` plans as a distributed
+    ``orderBy(xxhash64(..., seed)).limit(n)`` plans as a distributed
     TakeOrderedAndProject: each partition keeps its local top-n by the
     hash (a uniform random draw, deterministic given the data), and only
     n rows ever reach the driver — the boundary pick is O(sample) no
     matter the table size. Works for any orderable type (numerics,
     strings, dates); ``approxQuantile`` would cover numerics only.
 
-    The ordering hash covers the FULL row, not just the sampled column:
-    hashing the column alone gives every duplicate of a value the same
-    draw, so on skewed columns the sample is all-or-nothing per distinct
-    value and the quantile boundaries misrepresent row frequencies.
-    Row-hashing keeps the draw uniform over rows while staying
-    deterministic given the data (exact full-row duplicates still share
-    a draw — acceptable: they are interchangeable rows). Map-typed
-    payload columns are excluded from the hash (``xxhash64`` rejects
-    MapType); the sampled columns themselves are always orderable, hence
-    hashable, so the hash never degenerates to a constant.
+    The ordering hash must be (near-)unique PER ROW, not per value:
+    hashing the sampled column alone gives every duplicate of a value
+    the same draw, so on skewed columns the sample is all-or-nothing per
+    distinct value and the quantile boundaries misrepresent row
+    frequencies. ``hash_cols`` names a row-unique column set to hash —
+    a lake table passes its key columns, so each sampling scan reads
+    only (keys + sampled column) and parquet column pruning holds.
+    Without it the hash falls back to every non-map column of the row
+    (map columns excluded — ``xxhash64`` rejects MapType): still
+    row-uniform and deterministic, but each sampling pass then scans the
+    full row width, including any large payload columns — at 10^10 rows
+    always pass ``hash_cols``.
     """
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    def _hashable(dt) -> bool:
-        if isinstance(dt, MapType):
-            return False
-        if isinstance(dt, ArrayType):
-            return _hashable(dt.elementType)
-        if isinstance(dt, StructType):
-            return all(_hashable(f.dataType) for f in dt.fields)
-        return True
+    from synapse_etl_jobs_spark.operators.dedup import _contains_map
 
     n_buckets = 1 << bits
-    row_cols = [
-        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
-    ]
+    if hash_cols is not None:
+        row_cols = [F.col(c) for c in hash_cols]
+    else:
+        row_cols = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if not _contains_map(f.dataType)
+        ]
+    # the sampled-value alias must not collide with a real column that
+    # row_cols re-selects (AMBIGUOUS_REFERENCE otherwise)
+    alias = "_v"
+    while alias in df.columns:
+        alias += "_"
     out: dict[str, list] = {}
     for c in cols:
         vals = [
             r[0]
-            for r in df.select(F.col(c).alias("_v"), *row_cols)
-            .where(F.col("_v").isNotNull())
-            .orderBy(F.xxhash64(*row_cols, F.lit(int(seed))), F.col("_v"))
-            .select("_v")
+            for r in df.select(F.col(c).alias(alias), *row_cols)
+            .where(F.col(alias).isNotNull())
+            .orderBy(F.xxhash64(*row_cols, F.lit(int(seed))), F.col(alias))
+            .select(alias)
             .limit(int(sample_rows))
             .collect()
         ]
@@ -145,12 +149,16 @@ def zorder_column(
     bits: int = 6,
     sample_rows: int = 100_000,
     seed: int = 0,
+    hash_cols: Sequence[str] | None = None,
 ) -> tuple[Column, int]:
     """The Morton-code Column for ``cols`` over ``df``'s value
     distribution, plus the total code width in bits (callers split the
-    code's top bits into file ranges)."""
+    code's top bits into file ranges). ``hash_cols`` (a row-unique
+    column set, e.g. the table keys) keeps the boundary-sampling scans
+    narrow — see ``sample_boundaries``."""
     bounds = sample_boundaries(
-        df, cols, bits=bits, sample_rows=sample_rows, seed=seed
+        df, cols, bits=bits, sample_rows=sample_rows, seed=seed,
+        hash_cols=hash_cols,
     )
     qs = [quantize_expr(c, bounds[c]) for c in cols]
     return morton_expr(qs, bits), bits * len(cols)

@@ -219,16 +219,26 @@ def cap_probed_index(
     probe_rows: DataFrame,
     max_group_size: int,
     group_cols: Sequence[str] = ("band", "bucket"),
+    broadcast_probe: bool = True,
 ) -> DataFrame:
-    """Degenerate-group cap for an INDEX being probed: broadcast-semijoin
-    the index to the probe's DISTINCT group keys, then drop groups above
+    """Degenerate-group cap for an INDEX being probed: semijoin the
+    index to the probe's DISTINCT group keys, then drop groups above
     ``max_group_size``. The semijoin keeps whole groups, so group sizes
     (hence the cap decision) are unchanged by it; the cap's count window
     shuffles only O(probed index rows), never the whole index. The one
     place the cap-after-semijoin soundness argument lives — used by the
-    MinHash probe paths here and the RP-LSH paths in ``similarity``."""
+    MinHash probe paths here and the RP-LSH paths in ``similarity``.
+
+    ``broadcast_probe`` mirrors the probe functions' flag: the distinct
+    key set is broadcast by default (tiny for micro-batches), but a
+    caller that disabled broadcasting because the batch is too large to
+    fit a broadcast MUST disable it here too — the distinct keys scale
+    with the batch, so this semijoin falls back to a shuffle join (AQE-
+    splittable) in exactly the same regime."""
     keys = list(group_cols)
-    probed = F.broadcast(probe_rows.select(*keys).distinct())
+    probed = probe_rows.select(*keys).distinct()
+    if broadcast_probe:
+        probed = F.broadcast(probed)
     return cap_bucket_groups(
         index_rows.join(probed, keys, "leftsemi"), max_group_size, group_cols
     )
@@ -405,6 +415,35 @@ def shingle_set_hash(text_col: str, k: int) -> Column:
     return F.sha2(F.concat_ws("\x00", canon), 256)
 
 
+def _doc_digests(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """One ``(id, _dg)`` shingle-set digest row per document — THE
+    digest recipe every exact-dup collapse / threshold-1.0 verification
+    site shares (a one-site change here keeps the collapse, the
+    verification, and the candidate-corpus digests comparing the same
+    quantity; they are equality-joined across sites, so a drift would
+    misclassify every cross pair).
+
+    Spread first: the interpreted HOF digest runs in its input's stage,
+    and a compact source scan would cap its parallelism.
+    ``checkpoint`` (default) localCheckpoints the slim O(docs) frame so
+    multiple consuming branches don't re-inline the digest subtree
+    (measured 4x the whole pipeline un-materialized); pass False for a
+    single-consumer derived frame."""
+    from synapse_etl_jobs_spark.operators.text import spread_for_explode
+
+    out = spread_for_explode(df.select(id_col, text_col), probe=False).select(
+        F.col(id_col), shingle_set_hash(text_col, k).alias("_dg")
+    )
+    return out.localCheckpoint() if checkpoint else out
+
+
 def verify_exact_duplicates(
     df: DataFrame,
     pairs: DataFrame,
@@ -456,20 +495,9 @@ def _verified_pairs(
     digests = None
     if threshold >= 1.0 or lsh_kwargs.get("collapse_exact"):
         # ONE digest pass serves both the exact-dup collapse and the
-        # threshold-1.0 verification; localCheckpoint so neither branch
-        # re-runs it (the slim (id, digest) frame is O(docs) — the same
-        # order as the banding rows this pipeline materializes anyway).
-        # spread first: the interpreted HOF digest runs in its input's
-        # stage, and a compact source scan would cap its parallelism.
-        from synapse_etl_jobs_spark.operators.text import spread_for_explode
-
-        digests = (
-            spread_for_explode(df.select(id_col, text_col), probe=False)
-            .select(
-                F.col(id_col), shingle_set_hash(text_col, k).alias("_dg")
-            )
-            .localCheckpoint()
-        )
+        # threshold-1.0 verification (checkpointed inside the helper so
+        # neither branch re-runs it)
+        digests = _doc_digests(df, id_col=id_col, text_col=text_col, k=k)
     cands = minhash_lsh_candidates(
         df, id_col=id_col, text_col=text_col, digests=digests, **lsh_kwargs
     )
@@ -859,7 +887,8 @@ def minhash_index_probe(
         # differ, so ReuseExchange cannot collapse them — cut lineage so
         # the batch is signed ONCE per probe, not twice
         nb = nb.localCheckpoint()
-        ix = cap_probed_index(ix, nb, max_bucket_size)
+        ix = cap_probed_index(ix, nb, max_bucket_size,
+                              broadcast_probe=broadcast_probe)
     if broadcast_probe:
         nb = F.broadcast(nb)
     return (
@@ -889,6 +918,7 @@ def minhash_dedup_incremental(
     broadcast_probe: bool = True,
     index_loader=None,
     observe_banding=None,
+    observe_digests=None,
 ) -> DataFrame:
     """Rows of ``new_df`` that survive near-dup removal against an
     ALREADY-DEDUPED corpus and within the batch itself.
@@ -938,25 +968,29 @@ def minhash_dedup_incremental(
       ``bucket_size_histogram`` over it is the cap-tuning signal, taken
       where the O(k²) hazard actually lives (a histogram over the
       post-dedup survivors would measure the skew AFTER dedup removed
-      it). Near-free — the rows are already materialized."""
+      it). Near-free — the rows are already materialized.
+    - ``observe_digests``: callable receiving the batch's checkpointed
+      RAW-batch ``(id, _dg)`` shingle-set digest frame (only fires when
+      one is computed, i.e. ``collapse_exact`` or ``threshold >= 1.0``).
+      Lets callers derive exact-duplicate-class metrics (and the batch
+      row count) from the already-materialized frame instead of
+      re-digesting the batch text."""
     from synapse_etl_jobs_spark.operators.text import spread_for_explode
 
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
     # ONE spread + digest pass over the batch serves BOTH the exact-dup
-    # collapse and the threshold-1.0 verification below; localCheckpoint
-    # so no downstream branch re-runs it (un-materialized, the digest
-    # subtree re-inlines into the banding, verify and survivor branches
-    # — measured 4x the whole pipeline on the streaming drive at sf0.1).
+    # collapse and the threshold-1.0 verification below (checkpointed in
+    # the helper: un-materialized, the digest subtree re-inlines into
+    # the banding, verify and survivor branches — measured 4x the whole
+    # pipeline on the streaming drive at sf0.1).
     batch_digests = None
     if collapse_exact or threshold >= 1.0:
-        batch_digests = (
-            spread_for_explode(new_df.select(id_col, text_col), probe=False)
-            .select(
-                F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
-            )
-            .localCheckpoint()
+        batch_digests = _doc_digests(
+            new_df, id_col=id_col, text_col=text_col, k=shingle_k
         )
+        if observe_digests is not None:
+            observe_digests(batch_digests)
     if collapse_exact:
         # reps ids re-checkpointed (slim): each downstream reference to
         # the collapsed new_df then costs one semijoin against
@@ -988,7 +1022,8 @@ def minhash_dedup_incremental(
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     nb_probe = nb.select(F.col("_id").alias("new_id"), "band", "bucket")
     if max_bucket_size is not None:
-        ix = cap_probed_index(ix, nb, max_bucket_size)
+        ix = cap_probed_index(ix, nb, max_bucket_size,
+                              broadcast_probe=broadcast_probe)
     if broadcast_probe:
         nb_probe = F.broadcast(nb_probe)
     cross = (
@@ -1039,13 +1074,10 @@ def minhash_dedup_incremental(
         # the batch side was already digested above (checkpointed) —
         # only the candidate corpus docs need hashing here, so the
         # batch text is never re-touched for verification
-        cand_digests = (
-            spread_for_explode(
-                cand_corpus.select(id_col, text_col), probe=False
-            )
-            .select(
-                F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
-            )
+        # (checkpoint=False: single-consumer derived frame)
+        cand_digests = _doc_digests(
+            cand_corpus, id_col=id_col, text_col=text_col, k=shingle_k,
+            checkpoint=False,
         )
         hit = verify_exact_duplicates(
             new_df, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k,

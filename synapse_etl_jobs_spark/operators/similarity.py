@@ -586,7 +586,8 @@ def rp_index_probe(
         # BroadcastExchanges differ (ReuseExchange can't collapse them)
         # — cut lineage so the batch is signed ONCE per probe, not twice
         nb = nb.localCheckpoint()
-        ix = cap_probed_index(ix, nb, max_bucket_size, group_cols=("table", "sig"))
+        ix = cap_probed_index(ix, nb, max_bucket_size, group_cols=("table", "sig"),
+                              broadcast_probe=broadcast_probe)
     if broadcast_probe:
         nb = F.broadcast(nb)
     return (

@@ -213,6 +213,11 @@ def dedup_stream_into_table(
             # always capture the banding: besides the metrics histogram,
             # the survivors' index rows below are derived from it
             observe_banding=lambda nb: captured.__setitem__("nb", nb),
+            # and the raw-batch digests (when computed): the metrics
+            # block derives the exact-class histogram and rows_in from
+            # the already-checkpointed frame instead of re-digesting
+            # the batch text — saves a full shingle-sha2 pass per batch
+            observe_digests=lambda dg: captured.__setitem__("dg", dg),
             **lsh,
         ).persist()  # two merges below consume it — compute once
         try:
@@ -276,16 +281,23 @@ def dedup_stream_into_table(
                 # sha2 digest per doc): a k-clone boilerplate family
                 # shows up as one size-k class even when collapse_exact
                 # folds it before banding — the docstring's "mass in the
-                # high log2 bins" signal for cap/collapse tuning
-                class_hist = _hist(
-                    batch_df.select(
+                # high log2 bins" signal for cap/collapse tuning.
+                # collapse_exact / threshold>=1.0 already digested the
+                # raw batch (checkpointed, captured above) — reuse it;
+                # only the no-digest configuration pays a fresh pass
+                digests = captured.get("dg")
+                if digests is None:
+                    digests = batch_df.select(
                         shingle_set_hash(text_col, shingle_k).alias("_dg")
-                    ),
-                    ["_dg"],
-                )
+                    )
+                    rows_in = batch_df.count()
+                else:
+                    # one row per raw-batch doc, already materialized
+                    rows_in = digests.count()
+                class_hist = _hist(digests, ["_dg"])
                 line = json.dumps({
                     "batch_id": int(batch_id),
-                    "rows_in": batch_df.count(),
+                    "rows_in": rows_in,
                     "rows_kept": kept.count(),
                     "bucket_histogram": band_hist,
                     "exact_class_histogram": class_hist,
