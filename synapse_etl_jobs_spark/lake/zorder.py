@@ -84,12 +84,9 @@ def sample_boundaries(
     for c in cols:
         vals = [
             r[0]
-            for r in df.select(F.col(c).alias(alias), *row_cols)
-            .where(F.col(alias).isNotNull())
-            .orderBy(F.xxhash64(*row_cols, F.lit(int(seed))), F.col(alias))
-            .select(alias)
-            .limit(int(sample_rows))
-            .collect()
+            for r in _sample_query(
+                df, c, row_cols, alias, seed, sample_rows
+            ).collect()
         ]
         vals.sort()
         if not vals:
@@ -107,6 +104,27 @@ def sample_boundaries(
                 bounds.append(b)
         out[c] = bounds
     return out
+
+
+def _sample_query(
+    df: DataFrame,
+    c: str,
+    row_cols: Sequence[Column],
+    alias: str,
+    seed: int,
+    sample_rows: int,
+) -> DataFrame:
+    """The one-column uniform-sample query ``sample_boundaries`` runs —
+    separate so ``tools/explain_audit.py`` can assert its plan shape on
+    the real code path: a TakeOrderedAndProject over a scan that reads
+    ONLY (hash columns + sampled column), never the payload width."""
+    return (
+        df.select(F.col(c).alias(alias), *row_cols)
+        .where(F.col(alias).isNotNull())
+        .orderBy(F.xxhash64(*row_cols, F.lit(int(seed))), F.col(alias))
+        .select(alias)
+        .limit(int(sample_rows))
+    )
 
 
 def quantize_expr(col: str, boundaries: list) -> Column:

@@ -265,6 +265,29 @@ def _tfidf_reuse_check(spark, sf_dir):
     return "tf_idf_reused_exchange", txt, problems
 
 
+def _zorder_sampling_check(spark, sf_dir):
+    """Z-order boundary sampling with key hash_cols must plan as a
+    distributed TakeOrderedAndProject over a scan that reads ONLY the
+    key + sampled column (payload width pruned away) with the not-null
+    filter pushed — never a global sort/Exchange or a full-width scan."""
+    from pyspark.sql import functions as F
+
+    from synapse_etl_jobs_spark.lake.zorder import _sample_query
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = _sample_query(d, "lang", [F.col("doc_id")], "_v", 0, 1000)
+    txt = q._jdf.queryExecution().executedPlan().toString()
+    required = [
+        "TakeOrderedAndProject",
+        "ReadSchema: struct<doc_id:bigint,lang:string>",
+        "PushedFilters: [IsNotNull(lang)]",
+    ]
+    forbidden = ["Exchange", "BatchEvalPython", "Sort "]
+    problems = [f"MISSING required plan fragment: {s!r}" for s in required if s not in txt]
+    problems += [f"FORBIDDEN plan fragment present: {s!r}" for s in forbidden if s in txt]
+    return "zorder_boundary_sampling", txt, problems
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -293,6 +316,7 @@ def main() -> None:
     results.append(_patch_collapse_check(spark, sf_dir))
     results.append(_index_probe_plan_check(spark, sf_dir))
     results.append(_tfidf_reuse_check(spark, sf_dir))
+    results.append(_zorder_sampling_check(spark, sf_dir))
 
     for name, txt, problems in results:
         status = "OK" if not problems else "FAIL"
