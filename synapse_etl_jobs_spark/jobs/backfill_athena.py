@@ -17,16 +17,27 @@ Each reference script is the same three-part shape (e.g.
 
 Presto → Spark translation notes (all rows, all jobs):
 
-- ``json_extract_scalar(j, '$.x')``       → ``get_json_object(j, '$.x')``
-- ``json_parse(json_query(j, 'lax $.x'))`` + envelope-DDL cast
-                                           → ``from_json(get_json_object(
-                                              j, '$.x'), '<ddl>')``
-- ``cast(to_unixtime(from_iso8601_timestamp(s)) * 1000 as bigint)``
-                                           → ``unix_millis(to_timestamp(s))``
+- The reference extracts each field with its own
+  ``json_extract_scalar(json_record, '$.x')`` call (10-14 per row per
+  job, e.g. backfill_verifications_athena.sql:73-145), re-parsing the
+  same JSON string once per field. Here the whole payload is parsed
+  **once** per row — ``from_json(json_record, <parse schema>) AS j`` in
+  an inner projection — and every field is a struct access ``j.x``.
+  Catalyst keeps the single JsonToStructs in its own Project
+  (CollapseProject never inlines a non-cheap expression referenced more
+  than once), so the scan pays the JSON parse exactly once; the plan is
+  pinned by ``tools/explain_audit.py``. Error semantics shift from
+  per-field to per-record: a malformed payload nulls the whole snapshot
+  (PERMISSIVE) instead of just the unparseable field — strictly closer
+  to the reference's ``json_parse``-based rows, which fail the record
+  in Presto too.
+- ISO-8601 timestamps are parsed as *strings* in the parse schema, then
+  ``cast(to_unixtime(from_iso8601_timestamp(s)) * 1000 as bigint)``
+                                           → ``unix_millis(to_timestamp(s))``.
 - ``transform(cast(... as array<json>), e -> CAST(ROW(...) AS ROW(...)))``
   (the stateHistory reshape, backfill_verifications_athena.sql:97-110 —
   the reference's only N5 lambda in anger)
-                                           → ``transform(from_json(...),
+                                           → ``transform(j.stateHistory,
                                               e -> named_struct(...))``
 - ``cast(cast(instance as integer) as varchar)`` (zero-padding strip)
                                            → same in Spark SQL.
@@ -43,10 +54,11 @@ documented intent, matching both the reference's streaming jobs (the
 node job's modified-vs-created ≥1s rule) and this repo's
 ``sql_insert_envelope``/node-backfill ports.
 
-Everything is one Spark-SQL INSERT per job: JSON extraction, struct
-construction, and the array lambda are native Catalyst expressions —
-whole-stage codegen, zero Python in the row path, and the insert is a
-single map-side pass (no shuffle: no join/agg/window in any SELECT).
+Everything is one Spark-SQL INSERT per job: the single JSON parse,
+struct construction, and the array lambda are native Catalyst
+expressions — whole-stage codegen, zero Python in the row path, and the
+insert is a single map-side pass (no shuffle: no join/agg/window in any
+SELECT).
 """
 
 from __future__ import annotations
@@ -59,11 +71,11 @@ from pyspark.sql.types import StructType, _parse_datatype_string
 from synapse_etl_jobs_spark.catalog import Catalog
 
 # ---------------------------------------------------------------------------
-# per-job specs
+# per-job specs — SQL fragments reference ``j``, the once-parsed payload
 # ---------------------------------------------------------------------------
 
 _CHANGETYPE_FROM = """CASE WHEN change_timestamp -
-    unix_millis(to_timestamp(get_json_object(json_record, '$.{created}'))) > 1000
+    unix_millis(to_timestamp(j.{created})) > 1000
     THEN 'UPDATE' ELSE 'CREATE' END"""
 
 
@@ -71,8 +83,9 @@ _CHANGETYPE_FROM = """CASE WHEN change_timestamp -
 class AthenaBackfillSpec:
     name: str                  # destination table name (transformed_<x>)
     object_type: str
-    snapshot_ddl: str          # DDL of the snapshot struct
-    snapshot_sql: str          # Spark-SQL expression building the struct
+    parse_ddl: str             # one-shot from_json schema (ISO dates as string)
+    snapshot_ddl: str          # DDL of the envelope's snapshot struct
+    snapshot_sql: str          # struct build over j.<field> accesses
     userid_sql: str
     changetype_sql: str
     reference: str             # file:line of the ported INSERT body
@@ -82,16 +95,20 @@ class AthenaBackfillSpec:
 _USERGROUP = AthenaBackfillSpec(
     name="transformed_usergroup",
     object_type="PRINCIPAL",
+    parse_ddl=(
+        "id string, isIndividual boolean, etag string, "
+        "creationDate string, uri string"
+    ),
     snapshot_ddl=(
         "struct<id:string,isIndividual:boolean,etag:string,"
         "creationDate:bigint,uri:string>"
     ),
     snapshot_sql="""named_struct(
-        'id', get_json_object(json_record, '$.id'),
-        'isIndividual', CAST(get_json_object(json_record, '$.isIndividual') AS BOOLEAN),
-        'etag', get_json_object(json_record, '$.etag'),
-        'creationDate', unix_millis(to_timestamp(get_json_object(json_record, '$.creationDate'))),
-        'uri', get_json_object(json_record, '$.uri')
+        'id', j.id,
+        'isIndividual', j.isIndividual,
+        'etag', j.etag,
+        'creationDate', unix_millis(to_timestamp(j.creationDate)),
+        'uri', j.uri
     )""",
     userid_sql="CAST(NULL AS BIGINT)",
     changetype_sql=_CHANGETYPE_FROM.format(created="creationDate"),
@@ -102,25 +119,31 @@ _USERGROUP = AthenaBackfillSpec(
 _TEAM = AthenaBackfillSpec(
     name="transformed_team_snapshot",
     object_type="PRINCIPAL",
+    parse_ddl=(
+        "id string, name string, description string, icon string, "
+        "canPublicJoin boolean, canRequestMembership boolean, etag string, "
+        "createdOn string, modifiedOn string, createdBy string, "
+        "modifiedBy string"
+    ),
     snapshot_ddl=(
         "struct<id:string,name:string,description:string,icon:string,"
         "canPublicJoin:boolean,canRequestMembership:boolean,etag:string,"
         "createdOn:bigint,modifiedOn:bigint,createdBy:string,modifiedBy:string>"
     ),
     snapshot_sql="""named_struct(
-        'id', get_json_object(json_record, '$.id'),
-        'name', get_json_object(json_record, '$.name'),
-        'description', get_json_object(json_record, '$.description'),
-        'icon', get_json_object(json_record, '$.icon'),
-        'canPublicJoin', CAST(get_json_object(json_record, '$.canPublicJoin') AS BOOLEAN),
-        'canRequestMembership', CAST(get_json_object(json_record, '$.canRequestMembership') AS BOOLEAN),
-        'etag', get_json_object(json_record, '$.etag'),
-        'createdOn', unix_millis(to_timestamp(get_json_object(json_record, '$.createdOn'))),
-        'modifiedOn', unix_millis(to_timestamp(get_json_object(json_record, '$.modifiedOn'))),
-        'createdBy', get_json_object(json_record, '$.createdBy'),
-        'modifiedBy', get_json_object(json_record, '$.modifiedBy')
+        'id', j.id,
+        'name', j.name,
+        'description', j.description,
+        'icon', j.icon,
+        'canPublicJoin', j.canPublicJoin,
+        'canRequestMembership', j.canRequestMembership,
+        'etag', j.etag,
+        'createdOn', unix_millis(to_timestamp(j.createdOn)),
+        'modifiedOn', unix_millis(to_timestamp(j.modifiedOn)),
+        'createdBy', j.createdBy,
+        'modifiedBy', j.modifiedBy
     )""",
-    userid_sql="CAST(get_json_object(json_record, '$.modifiedBy') AS BIGINT)",
+    userid_sql="CAST(j.modifiedBy AS BIGINT)",
     changetype_sql=_CHANGETYPE_FROM.format(created="createdOn"),
     reference="backfill_team_snapshot_athena.sql:61-105",
 )
@@ -129,6 +152,12 @@ _TEAM = AthenaBackfillSpec(
 _TEAM_MEMBER = AthenaBackfillSpec(
     name="transformed_team_member_snapshot",
     object_type="PRINCIPAL",
+    parse_ddl=(
+        "teamId string, "
+        "member struct<ownerId:string,firstName:string,lastName:string,"
+        "userName:string,email:string,displayName:string,isIndividual:boolean>, "
+        "isAdmin boolean"
+    ),
     snapshot_ddl=(
         "struct<teamId:string,"
         "member:struct<ownerId:string,firstName:string,lastName:string,"
@@ -136,12 +165,11 @@ _TEAM_MEMBER = AthenaBackfillSpec(
         "isAdmin:boolean>"
     ),
     snapshot_sql="""named_struct(
-        'teamId', get_json_object(json_record, '$.teamId'),
-        'member', from_json(get_json_object(json_record, '$.member'),
-            'struct<ownerId:string,firstName:string,lastName:string,userName:string,email:string,displayName:string,isIndividual:boolean>'),
-        'isAdmin', CAST(get_json_object(json_record, '$.isAdmin') AS BOOLEAN)
+        'teamId', j.teamId,
+        'member', j.member,
+        'isAdmin', j.isAdmin
     )""",
-    userid_sql="CAST(get_json_object(json_record, '$.member.ownerId') AS BIGINT)",
+    userid_sql="CAST(j.member.ownerId AS BIGINT)",
     # ":66-67 — we can not find the type so using static type UPDATE"
     changetype_sql="'UPDATE'",
     reference="backfill_team_member_snapshot_athena.sql:60-84",
@@ -151,6 +179,18 @@ _TEAM_MEMBER = AthenaBackfillSpec(
 _USERPROFILE = AthenaBackfillSpec(
     name="transformed_userprofile",
     object_type="PRINCIPAL",
+    parse_ddl=(
+        "ownerId string, etag string, firstName string, lastName string, "
+        "email string, emails array<string>, openIds array<string>, "
+        "userName string, displayName string, rStudioUrl string, "
+        "summary string, position string, location string, industry string, "
+        "company string, profilePicureFileHandleId string, url string, "
+        "teamName string, "
+        "notificationSettings struct<sendEmailNotifications:boolean,"
+        "markEmailedMessagesAsRead:boolean>, "
+        "preferences array<struct<name:string,value:boolean>>, "
+        "createdOn string"
+    ),
     snapshot_ddl=(
         "struct<ownerId:string,etag:string,firstName:string,lastName:string,"
         "email:string,emails:array<string>,openIds:array<string>,"
@@ -162,31 +202,29 @@ _USERPROFILE = AthenaBackfillSpec(
         "preferences:array<struct<name:string,value:boolean>>,createdOn:bigint>"
     ),
     snapshot_sql="""named_struct(
-        'ownerId', get_json_object(json_record, '$.ownerId'),
-        'etag', get_json_object(json_record, '$.etag'),
-        'firstName', get_json_object(json_record, '$.firstName'),
-        'lastName', get_json_object(json_record, '$.lastName'),
-        'email', get_json_object(json_record, '$.email'),
-        'emails', from_json(get_json_object(json_record, '$.emails'), 'array<string>'),
-        'openIds', from_json(get_json_object(json_record, '$.openIds'), 'array<string>'),
-        'userName', get_json_object(json_record, '$.userName'),
-        'displayName', get_json_object(json_record, '$.displayName'),
-        'rStudioUrl', get_json_object(json_record, '$.rStudioUrl'),
-        'summary', get_json_object(json_record, '$.summary'),
-        'position', get_json_object(json_record, '$.position'),
-        'location', get_json_object(json_record, '$.location'),
-        'industry', get_json_object(json_record, '$.industry'),
-        'company', get_json_object(json_record, '$.company'),
-        'profilePicureFileHandleId', get_json_object(json_record, '$.profilePicureFileHandleId'),
-        'url', get_json_object(json_record, '$.url'),
-        'teamName', get_json_object(json_record, '$.teamName'),
-        'notificationSettings', from_json(get_json_object(json_record, '$.notificationSettings'),
-            'struct<sendEmailNotifications:boolean,markEmailedMessagesAsRead:boolean>'),
-        'preferences', from_json(get_json_object(json_record, '$.preferences'),
-            'array<struct<name:string,value:boolean>>'),
-        'createdOn', unix_millis(to_timestamp(get_json_object(json_record, '$.createdOn')))
+        'ownerId', j.ownerId,
+        'etag', j.etag,
+        'firstName', j.firstName,
+        'lastName', j.lastName,
+        'email', j.email,
+        'emails', j.emails,
+        'openIds', j.openIds,
+        'userName', j.userName,
+        'displayName', j.displayName,
+        'rStudioUrl', j.rStudioUrl,
+        'summary', j.summary,
+        'position', j.position,
+        'location', j.location,
+        'industry', j.industry,
+        'company', j.company,
+        'profilePicureFileHandleId', j.profilePicureFileHandleId,
+        'url', j.url,
+        'teamName', j.teamName,
+        'notificationSettings', j.notificationSettings,
+        'preferences', j.preferences,
+        'createdOn', unix_millis(to_timestamp(j.createdOn))
     )""",
-    userid_sql="CAST(get_json_object(json_record, '$.ownerId') AS BIGINT)",
+    userid_sql="CAST(j.ownerId AS BIGINT)",
     changetype_sql=_CHANGETYPE_FROM.format(created="createdOn"),
     reference="backfill_userprofile_athena.sql:77-137",
 )
@@ -196,6 +234,15 @@ _USERPROFILE = AthenaBackfillSpec(
 _VERIFICATIONS = AthenaBackfillSpec(
     name="transformed_verifications",
     object_type="VERIFICATION_SUBMISSION",
+    parse_ddl=(
+        "id string, createdOn string, createdBy string, "
+        "firstName string, lastName string, emails array<string>, "
+        "notificationEmail string, location string, company string, "
+        "orcid string, "
+        "stateHistory array<struct<createdOn:string,createdBy:string,"
+        "state:string,reason:string,notes:string>>, "
+        "attachments array<struct<fileName:string,id:string>>"
+    ),
     snapshot_ddl=(
         "struct<id:string,createdOn:bigint,createdBy:string,"
         "firstName:string,lastName:string,emails:array<string>,"
@@ -205,29 +252,27 @@ _VERIFICATIONS = AthenaBackfillSpec(
         "attachments:array<struct<fileName:string,id:string>>>"
     ),
     snapshot_sql="""named_struct(
-        'id', get_json_object(json_record, '$.id'),
-        'createdOn', unix_millis(to_timestamp(get_json_object(json_record, '$.createdOn'))),
-        'createdBy', get_json_object(json_record, '$.createdBy'),
-        'firstName', get_json_object(json_record, '$.firstName'),
-        'lastName', get_json_object(json_record, '$.lastName'),
-        'emails', from_json(get_json_object(json_record, '$.emails'), 'array<string>'),
-        'notificationEmail', get_json_object(json_record, '$.notificationEmail'),
-        'location', get_json_object(json_record, '$.location'),
-        'company', get_json_object(json_record, '$.company'),
-        'orcid', get_json_object(json_record, '$.orcid'),
+        'id', j.id,
+        'createdOn', unix_millis(to_timestamp(j.createdOn)),
+        'createdBy', j.createdBy,
+        'firstName', j.firstName,
+        'lastName', j.lastName,
+        'emails', j.emails,
+        'notificationEmail', j.notificationEmail,
+        'location', j.location,
+        'company', j.company,
+        'orcid', j.orcid,
         'stateHistory', transform(
-            from_json(get_json_object(json_record, '$.stateHistory'),
-                'array<struct<createdOn:string,createdBy:string,state:string,reason:string,notes:string>>'),
+            j.stateHistory,
             e -> named_struct(
                 'createdOn', unix_millis(to_timestamp(e.createdOn)),
                 'createdBy', e.createdBy,
                 'state', e.state,
                 'reason', e.reason,
                 'notes', e.notes)),
-        'attachments', from_json(get_json_object(json_record, '$.attachments'),
-            'array<struct<fileName:string,id:string>>')
+        'attachments', j.attachments
     )""",
-    userid_sql="CAST(get_json_object(json_record, '$.createdBy') AS BIGINT)",
+    userid_sql="CAST(j.createdBy AS BIGINT)",
     changetype_sql=_CHANGETYPE_FROM.format(created="createdOn"),
     reference="backfill_verifications_athena.sql:73-145",
 )
@@ -257,14 +302,18 @@ def backfill_select_sql(
     stack: str = "prod",
     instances: list[str] | None = None,
 ) -> str:
-    """The INSERT body's SELECT, translated to Spark SQL. ``instances``
-    mirrors the reference's run-in-slices instance lists (an Athena
-    INSERT is limited to 100 partitions — Spark has no such limit, so
-    None = the whole table in one insert)."""
+    """The INSERT body's SELECT, translated to Spark SQL. The inner
+    projection parses ``json_record`` exactly once (``j``); the outer
+    SELECT is pure struct access. ``instances`` mirrors the reference's
+    run-in-slices instance lists (an Athena INSERT is limited to 100
+    partitions — Spark has no such limit, so None = the whole table in
+    one insert); the IN filter sits inside the subquery so it pushes to
+    the source scan."""
     where = ""
     if instances:
         quoted = ", ".join(f"'{i}'" for i in instances)
         where = f"WHERE instance IN ({quoted})"
+    ddl = spec.parse_ddl.replace("'", "\\'")
     return f"""
         SELECT '{stack}' AS stack,
                CAST(CAST(instance AS INT) AS STRING) AS instance,
@@ -277,8 +326,12 @@ def backfill_select_sql(
                CAST(year(CAST(snapshot_date AS DATE)) AS STRING) AS year,
                lpad(CAST(month(CAST(snapshot_date AS DATE)) AS STRING), 2, '0') AS month,
                lpad(CAST(day(CAST(snapshot_date AS DATE)) AS STRING), 2, '0') AS day
-        FROM {source_view}
-        {where}
+        FROM (
+            SELECT change_timestamp, instance, snapshot_date,
+                   from_json(json_record, '{ddl}') AS j
+            FROM {source_view}
+            {where}
+        )
     """
 
 

@@ -288,6 +288,38 @@ def _zorder_sampling_check(spark, sf_dir):
     return "zorder_boundary_sampling", txt, problems
 
 
+def _athena_single_parse_check(spark, sf_dir):
+    """Every Athena backfill SELECT must parse json_record exactly ONCE
+    per row — one JsonToStructs (from_json) in the optimized plan, zero
+    get_json_object — so the scan never pays the JSON parse per field
+    (the reference Presto re-parses 10-14× per row; see
+    jobs/backfill_athena.py docstring). Checked on the optimized plan of
+    all five jobs over a synthetic 3-row source."""
+    from synapse_etl_jobs_spark.jobs.backfill_athena import (
+        ATHENA_BACKFILLS, backfill_select_sql,
+    )
+
+    spark.createDataFrame(
+        [(1000 + i, "snapshotrecord", '{"id": "%d"}' % i, "000000386",
+          "2024-01-0%d" % (i + 1)) for i in range(3)],
+        "change_timestamp bigint, record_type string, json_record string, "
+        "instance string, snapshot_date string",
+    ).createOrReplaceTempView("_audit_athena_src")
+    problems, texts = [], []
+    for job, spec in ATHENA_BACKFILLS.items():
+        df = spark.sql(backfill_select_sql(spec, "_audit_athena_src"))
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        texts.append(f"-- {job} --\n{opt.strip()}")
+        n = opt.count("from_json")
+        if n != 1:
+            problems.append(
+                f"{job}: expected exactly 1 from_json in optimized plan, got {n}"
+            )
+        if "get_json_object" in opt:
+            problems.append(f"{job}: FORBIDDEN get_json_object in optimized plan")
+    return "athena_backfill_single_json_parse", "\n\n".join(texts), problems
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -317,6 +349,7 @@ def main() -> None:
     results.append(_index_probe_plan_check(spark, sf_dir))
     results.append(_tfidf_reuse_check(spark, sf_dir))
     results.append(_zorder_sampling_check(spark, sf_dir))
+    results.append(_athena_single_parse_check(spark, sf_dir))
 
     for name, txt, problems in results:
         status = "OK" if not problems else "FAIL"
