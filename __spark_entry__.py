@@ -1479,6 +1479,41 @@ def q_cdc_patch_merge(spark, sf_dir) -> DataFrame:
     return table.read().select("user_id", "event_type", "value")
 
 
+def q_cdc_patch_merge_ooo(spark, sf_dir) -> DataFrame:
+    """Out-of-order partial-column CDC merge: the SAME patch stream as
+    ``cdc_patch_merge``, split into three seq-range batches applied in
+    the order [3rd, 1st, 2nd] — the final state must be identical to
+    in-order application (same oracle). This pins the per-column CRDT
+    state ``merge_patches`` persists with every row (``_cseq`` winner
+    seqs + delete bound): batch merging is a join-semilattice pointwise
+    max, so stale batches delivered late — checkpoint replays, retried
+    writers, reordered queue partitions — cannot clobber newer column
+    values or resurrect deleted keys. The reference has no analog (its
+    jobs re-snapshot whole rows, glue_job.py); this is the hardening a
+    change tailer needs when upstream delivery is not FIFO."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _patch_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0] or 0
+    c1, c2 = hi // 3, 2 * hi // 3
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_patch_ooo_") + "/t"
+    table = LakeTable.create(spark, path, schema, ["user_id"], num_buckets=4,
+                             write_mode="mor")
+    table.merge_patches(ev.filter(F.col("seq") > c2), stream_id="s", batch_id=0)
+    table.merge_patches(ev.filter(F.col("seq") <= c1), stream_id="s", batch_id=1)
+    table.merge_patches(ev.filter((F.col("seq") > c1) & (F.col("seq") <= c2)),
+                        stream_id="s", batch_id=2)
+    return table.read().select("user_id", "event_type", "value")
+
+
 def q_lake_rebucket(spark, sf_dir) -> DataFrame:
     """Bucket-spec evolution under sustained ingest (``rebucket`` +
     ``auto_compact_min_deltas``, lake/table.py): replay the CDC stream
@@ -2950,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
         "cdc_patch_merge": q_cdc_patch_merge,
+        "cdc_patch_merge_ooo": q_cdc_patch_merge_ooo,
         "lake_rollback": q_lake_rollback,
         "lake_rebucket": q_lake_rebucket,
         "lake_time_travel": q_lake_time_travel,
@@ -3858,6 +3894,30 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
               AND value BETWEEN 25.0 AND 75.0
         """,
         "cdc_patch_merge": """
+            WITH ev AS (
+              SELECT user_id, event_id AS seq,
+                     CASE WHEN event_id % 11 = 0 THEN 'DELETE'
+                          WHEN event_id % 3 = 0 THEN 'PATCH_ET'
+                          WHEN event_id % 3 = 1 THEN 'PATCH_V'
+                          ELSE 'UPSERT' END AS op,
+                     event_type, round(value, 2) AS value
+              FROM events
+            ), d AS (
+              SELECT user_id,
+                     max(seq) FILTER (WHERE op = 'DELETE') AS del_seq
+              FROM ev GROUP BY user_id
+            ), live AS (
+              SELECT e.* FROM ev e JOIN d USING (user_id)
+              WHERE e.op <> 'DELETE' AND e.seq > coalesce(d.del_seq, -1)
+            )
+            SELECT user_id,
+                   arg_max(event_type, seq)
+                     FILTER (WHERE op IN ('UPSERT', 'PATCH_ET')) AS event_type,
+                   arg_max(value, seq)
+                     FILTER (WHERE op IN ('UPSERT', 'PATCH_V')) AS value
+            FROM live GROUP BY user_id
+        """,
+        "cdc_patch_merge_ooo": """
             WITH ev AS (
               SELECT user_id, event_id AS seq,
                      CASE WHEN event_id % 11 = 0 THEN 'DELETE'

@@ -63,6 +63,20 @@ DELETED_COL = "_deleted"  # stored tombstone flag — see merge() docstring
 BUCKET_COL = "_bucket"
 DELETE_OPS = ("DELETE",)  # ops that remove the key; anything else upserts
 
+# Per-column CRDT state for partial-column (patch) tables — present only
+# when the table property ``patch_seqs`` is set (first merge_patches call
+# sets it). See merge_patches() for the merge algebra.
+CSEQ_COL = "_cseq"    # map<column name, long>: per-column winner seq; the
+                      # reserved key below holds the latest DELETE seq.
+FOLD_COL = "_fold"    # monotone fold counter (sum of live per-column seqs
+                      # + delete seq): read-time tie-break so the LATEST
+                      # written state of a key wins on equal _seq.
+DEL_KEY = "__del__"   # reserved _cseq map key: latest DELETE seq
+LIVE_KEY = "__live__"  # reserved _cseq map key: latest non-DELETE seq (touch)
+PATCH_PROP = "patch_seqs"
+# internal columns hidden from user-facing reads
+INTERNAL_COLS = (SEQ_COL, DELETED_COL, CSEQ_COL, FOLD_COL)
+
 
 
 def _list_parquet_files(root: str, fs=None) -> dict[int, list[str]]:
@@ -637,11 +651,24 @@ class LakeTable:
             df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         df.write.partitionBy(BUCKET_COL).parquet(out_dir)
 
+    @property
+    def _patch_enabled(self) -> bool:
+        return bool(self.manifest.props.get(PATCH_PROP))
+
     def _stored_schema(self, schema_id: int) -> StructType:
         """Physical schema of files written under ``schema_id``: epoch user
-        schema + internal ``_seq`` (LWW) and ``_deleted`` (tombstone)."""
+        schema + internal ``_seq`` (LWW) and ``_deleted`` (tombstone);
+        patch-enabled tables add the per-column CRDT state (``_cseq`` /
+        ``_fold`` — files written before enablement read as null, which
+        the merge algebra interprets as "all columns set at _seq")."""
         st = StructType.fromJson(self.manifest.schemas[str(schema_id)]["schema"])
-        return st.add(SEQ_COL, "long", True).add(DELETED_COL, "boolean", True)
+        st = st.add(SEQ_COL, "long", True).add(DELETED_COL, "boolean", True)
+        if self._patch_enabled:
+            from pyspark.sql.types import LongType, MapType, StringType
+
+            st = st.add(CSEQ_COL, MapType(StringType(), LongType()), True)
+            st = st.add(FOLD_COL, "long", True)
+        return st
 
     def _read_files(self, entries: list[dict[str, Any]]) -> DataFrame | None:
         """Read manifest file entries, resolving schema epochs: each epoch's
@@ -671,6 +698,9 @@ class LakeTable:
         # the current type (type widening, e.g. int files under a bigint
         # schema) — a no-op when types already match.
         internal = {SEQ_COL: "long", DELETED_COL: "boolean"}
+        if self._patch_enabled:
+            internal[CSEQ_COL] = "map<string,long>"
+            internal[FOLD_COL] = "long"
         want = [f.name for f in current.fields] + list(internal)
         have = set(out.columns)
 
@@ -679,6 +709,47 @@ class LakeTable:
             return (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
 
         return out.select(*[typed(c) for c in want])
+
+    def _lww_stored(self, df: DataFrame) -> DataFrame:
+        """LWW-reduce stored multi-version rows. On patch-enabled tables
+        the ordering is lexicographic (``_seq``, ``_fold``, values): two
+        versions of a key can legitimately share the max ``_seq`` (a
+        later patch-merge folds MORE per-column state without raising the
+        max event seq), and the strictly-increasing fold counter makes
+        the LATEST written state win deterministically. Implemented by
+        moving a coalesced ``_fold`` to the FIRST payload slot of the
+        ordering struct — ``dedup_lww`` orders payload in column order."""
+        keys = self.manifest.key_cols
+        if FOLD_COL not in df.columns:
+            return dedup_lww(df, keys, SEQ_COL)
+        orig = list(df.columns)
+        rest = [c for c in orig if c not in (*keys, FOLD_COL)]
+        df = df.select(
+            *keys,
+            F.coalesce(F.col(FOLD_COL), F.col(SEQ_COL)).alias(FOLD_COL),
+            *rest,
+        )
+        return dedup_lww(df, keys, SEQ_COL).select(*orig)
+
+    def _set_prop(self, key: str, value: Any) -> None:
+        """Commit a metadata-only manifest version with one table property
+        changed (Iceberg ``ALTER TABLE SET TBLPROPERTIES`` analog — data
+        files and batch markers untouched)."""
+        m = self.manifest
+        new_manifest = Manifest(
+            table_version=m.table_version + 1,
+            key_cols=m.key_cols,
+            bucket_cols=m.bucket_cols,
+            num_buckets=m.num_buckets,
+            current_schema_id=m.current_schema_id,
+            schemas=m.schemas,
+            buckets=m.buckets,
+            applied_batches=m.applied_batches,
+            parent_version=m.table_version,
+            props={**m.props, key: value},
+        )
+        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
+        self.manifest = new_manifest
 
     def _current_view(self, entries: list[dict[str, Any]]) -> DataFrame | None:
         """Snapshot view over file entries: raw read for pure-base buckets;
@@ -689,7 +760,7 @@ class LakeTable:
         if df is None:
             return None
         if any(e.get("kind", "base") == "delta" for e in entries):
-            df = dedup_lww(df, self.manifest.key_cols, SEQ_COL)
+            df = self._lww_stored(df)
         return df
 
     def read(self, include_internal: bool = False) -> DataFrame:
@@ -703,13 +774,11 @@ class LakeTable:
         if df is None:
             schema = self.manifest.current_schema()
             if include_internal:
-                schema = schema.add(SEQ_COL, "long", True).add(DELETED_COL, "boolean", True)
+                schema = self._stored_schema(self.manifest.current_schema_id)
             return self.spark.createDataFrame([], schema)
         if include_internal:
             return df
-        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
-            SEQ_COL, DELETED_COL
-        )
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*INTERNAL_COLS)
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: the snapshot as of ``version`` (manifests are
@@ -772,14 +841,13 @@ class LakeTable:
             prev = cur
 
         if not new_entries:
-            schema = m.current_schema().add(SEQ_COL, "long", True).add(
-                DELETED_COL, "boolean", True
+            return self.spark.createDataFrame(
+                [], self._stored_schema(m.current_schema_id)
             )
-            return self.spark.createDataFrame([], schema)
         # epoch resolution (renames / added columns) comes from the
         # CURRENT manifest — schemas are append-only across versions
         df = self._read_files(new_entries)
-        return dedup_lww(df, m.key_cols, SEQ_COL)
+        return self._lww_stored(df)
 
     def scan_keys(self, key_values: Sequence[tuple]) -> DataFrame:
         """Bucket-pruned point scan: read only the buckets that can contain
@@ -816,9 +884,7 @@ class LakeTable:
         df = self._current_view(entries)
         if df is None:
             return self.spark.createDataFrame([], self.manifest.current_schema())
-        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
-            SEQ_COL, DELETED_COL
-        )
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*INTERNAL_COLS)
 
     def _file_blooms(self, files: list[str]) -> dict[str, dict[str, Any]]:
         """Per-file key blooms for freshly written files, when the table
@@ -895,7 +961,7 @@ class LakeTable:
         return (
             df.filter(cond)
             .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .drop(SEQ_COL, DELETED_COL)
+            .drop(*INTERNAL_COLS)
         )
 
     def _range_pruned_entries(
@@ -967,7 +1033,7 @@ class LakeTable:
         return (
             df.filter(cond)
             .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .drop(SEQ_COL, DELETED_COL)
+            .drop(*INTERNAL_COLS)
         )
 
     # ------------------------------------------------------------------ merge
@@ -1063,6 +1129,14 @@ class LakeTable:
                 self.evolve_schema(add_columns=new_cols)
                 m = self.manifest
 
+        # a batch carrying per-column CRDT state (merge_patches) flips the
+        # table to patch mode BEFORE anything reads stored files, so the
+        # CoW fold below and all subsequent reads see _cseq/_fold
+        carries_patch_state = CSEQ_COL in updates.columns
+        if carries_patch_state and not self._patch_enabled:
+            self._set_prop(PATCH_PROP, True)
+            m = self.manifest
+
         current_schema = m.current_schema()
         user_cols = [f.name for f in current_schema.fields]
 
@@ -1076,6 +1150,14 @@ class LakeTable:
             ],
             F.upper(F.col(op_col)).alias(OP_COL),
             F.col(seq_col).cast("long").alias(SEQ_COL),
+            *(
+                [
+                    F.col(CSEQ_COL).cast("map<string,long>").alias(CSEQ_COL),
+                    F.col(FOLD_COL).cast("long").alias(FOLD_COL),
+                ]
+                if carries_patch_state
+                else []
+            ),
         )
 
         # (2) reduce the batch to one winner per key, tombstone-flag it,
@@ -1138,7 +1220,7 @@ class LakeTable:
             ]
             try:
                 combined = self._read_files(stored_entries + staged_entries)
-                merged = dedup_lww(combined, m.key_cols, SEQ_COL).withColumn(
+                merged = self._lww_stored(combined).withColumn(
                     BUCKET_COL, self._bucket_expr()
                 )
                 self._salted_bucket_write(merged, commit_dir, min_tasks=len(affected))
@@ -1292,16 +1374,25 @@ class LakeTable:
            ``pre_reduced=True`` — steps 1+3 already guarantee one row per
            key, so merge's own LWW shuffle is skipped.
 
-        Ordering contract: batches must be applied in seq order (what
-        ``ReplayDriver`` guarantees — its windows partition the seq
-        space monotonically). A key whose collapsed seq is ≤ the stored
-        row's ``_seq`` is dropped as stale (whole-batch redelivery is
-        already a no-op via the batch marker; this guards partial
-        redelivery without per-column stored seqs, matching the row
-        granularity of the full-row LWW path).
+        Ordering: batch application is ORDER-INSENSITIVE. Each stored row
+        carries per-column CRDT state — ``_cseq`` (column name → seq of
+        its latest write; reserved key ``__del__`` → latest DELETE seq)
+        and ``_fold`` (a monotone fold counter for read-time tie-breaks).
+        Merging a batch is a pointwise max of that state (join-semilattice
+        join), so replaying patch batches in ANY order — including stale
+        batches redelivered late with fresh batch ids — converges to the
+        identical table state. Rows written by the full-row path read as
+        "every column set at ``_seq``" (and tombstones as "deleted at
+        ``_seq``"), so the algebra covers pre-existing data. Per column,
+        the effective write is the one with the higher seq; it survives
+        iff its seq is above the latest DELETE seq; a key with no
+        surviving column is a tombstone. Keys to which the batch
+        contributes nothing new (every batch write ≤ the stored state)
+        are dropped before the write — a redelivered batch under a new
+        batch id writes zero rows.
         """
         from synapse_etl_jobs_spark.operators.patch import (
-            collapse_patches, set_flag_col,
+            col_seq_col, collapse_patches,
         )
 
         m = self.manifest
@@ -1315,6 +1406,8 @@ class LakeTable:
         current_schema = m.current_schema()
         user_cols = [f.name for f in current_schema.fields]
         payload_cols = [c for c in user_cols if c not in m.key_cols]
+        if not payload_cols:
+            raise ValueError("merge_patches needs at least one payload column")
 
         batch = updates.select(
             *[
@@ -1345,42 +1438,122 @@ class LakeTable:
             ]
             stored = self._current_view(stored_entries)
 
+            scseq = F.col("_stored_cseq")
+            sseq = F.col("_stored_seq")
+            sdel_flag = F.coalesce(F.col("_stored_del"), F.lit(False))
             if stored is None:
                 joined = collapsed.select(
-                    *m.key_cols, "op", F.col("seq"),
-                    *payload_cols,
-                    *[F.col(set_flag_col(c)) for c in payload_cols],
-                    "_wipe_base",
+                    "*",
                     F.lit(None).cast("long").alias("_stored_seq"),
+                    F.lit(None).cast("boolean").alias("_stored_del"),
+                    F.lit(None).cast("map<string,long>").alias("_stored_cseq"),
                     *[F.lit(None).cast(current_schema[c].dataType)
                       .alias(f"_stored_{c}") for c in payload_cols],
                 )
             else:
-                # tombstoned stored rows must not donate values
-                stored = stored.filter(
-                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-                ).select(
+                # tombstones STAY visible: their delete seq is load-bearing
+                # (a stale pre-delete patch must not resurrect the key)
+                stored = stored.select(
                     *m.key_cols,
                     F.col(SEQ_COL).alias("_stored_seq"),
+                    F.col(DELETED_COL).alias("_stored_del"),
+                    (F.col(CSEQ_COL) if CSEQ_COL in stored.columns
+                     else F.lit(None).cast("map<string,long>")
+                     ).alias("_stored_cseq"),
                     *[F.col(c).alias(f"_stored_{c}") for c in payload_cols],
                 )
                 joined = stored.join(collapsed, list(m.key_cols), "right")
 
-            # stale guard (see docstring) + per-column inherit
-            fresh = joined.filter(
-                F.col("_stored_seq").isNull()
-                | (F.col("seq") > F.col("_stored_seq"))
+            # State algebra (join-semilattice; every piece below is a
+            # pointwise max, so batch order cannot matter):
+            #   _cseq[c]       = max(latest write seq to c, latest DELETE
+            #                    seq) — the col's OBSOLESCENCE bound: any
+            #                    write to c at or below it can never become
+            #                    visible. Clamping dead cols to the delete
+            #                    seq (instead of dropping their entries)
+            #                    keeps the map pointwise-monotone, which
+            #                    keeps _fold (= sum of entries + del)
+            #                    STRICTLY increasing on every write — the
+            #                    read-time tie-break relies on that.
+            #   _cseq[__del__] = latest DELETE seq.
+            #   value of c     = the winning write's value iff its seq >
+            #                    the delete seq (alive), else null.
+            # Legacy rows (written by the full-row path, _cseq null) read
+            # as: every entry = _seq; tombstone ⇒ delete seq = _seq.
+            sdel = F.when(scseq.isNotNull(), scseq[DEL_KEY]).otherwise(
+                F.when(sdel_flag, sseq)
             )
-            full_cols = [F.col(k) for k in m.key_cols]
+            ndel = F.greatest(sdel, F.col("_bdel"))
+            # key-existence touch: max non-DELETE event seq ever seen (an
+            # empty-set PATCH keeps a key alive without setting a column)
+            stouch = F.when(scseq.isNotNull(), scseq[LIVE_KEY]).otherwise(
+                F.when(~sdel_flag, sseq)
+            )
+            ntouch = F.greatest(stouch, F.col("_btouch"))
+
+            ent_cols, val_cols, alive_flags = [], [], []
+            contrib = (
+                F.col("_bdel").isNotNull() & (sdel.isNull() | (F.col("_bdel") > sdel))
+            ) | (
+                F.col("_btouch").isNotNull()
+                & (stouch.isNull() | (F.col("_btouch") > stouch))
+            )
             for c in payload_cols:
-                full_cols.append(
-                    F.when(F.col(set_flag_col(c)), F.col(c))
-                    .when(F.col("_wipe_base"), F.lit(None))
-                    .otherwise(F.col(f"_stored_{c}"))
-                    .cast(current_schema[c].dataType)
-                    .alias(c)
+                s_ent = F.when(scseq.isNotNull(), scseq[c]).otherwise(sseq)
+                bcs = F.col(col_seq_col(c))
+                win = F.greatest(s_ent, bcs)
+                new_ent = F.when(win.isNotNull(), F.greatest(win, ndel))
+                use_batch = bcs.isNotNull() & (s_ent.isNull() | (bcs > s_ent))
+                alive = win.isNotNull() & (ndel.isNull() | (win > ndel))
+                ent_cols.append(new_ent.alias(col_seq_col(c)))
+                val_cols.append(
+                    F.when(alive & use_batch, F.col(c))
+                    .when(alive, F.col(f"_stored_{c}"))
+                    .cast(current_schema[c].dataType).alias(c)
                 )
-            full = fresh.select(*full_cols, F.col("op"), F.col("seq"))
+                alive_flags.append(alive)
+                # a batch write above the stored entry always grows the
+                # state map (new_ent ≥ bcs > s_ent, or a new entry)
+                contrib = contrib | use_batch
+
+            is_live = ntouch.isNotNull() & (ndel.isNull() | (ntouch > ndel))
+            for a in alive_flags:
+                is_live = is_live | a
+
+            # drop keys the batch cannot change (stale/duplicate writes):
+            # a redelivered batch under a fresh batch id writes 0 rows
+            resolved = joined.filter(contrib).select(
+                *m.key_cols, *val_cols, *ent_cols,
+                ndel.alias("_ndel"),
+                ntouch.alias("_ntouch"),
+                is_live.alias("_is_live"),
+            )
+
+            ents = [F.col(col_seq_col(c)) for c in payload_cols]
+            cseq_entries = []
+            for c in payload_cols:
+                cseq_entries += [F.lit(c), F.col(col_seq_col(c))]
+            cseq_entries += [F.lit(DEL_KEY), F.col("_ndel")]
+            cseq_entries += [F.lit(LIVE_KEY), F.col("_ntouch")]
+            cseq_map = F.map_filter(
+                F.create_map(*cseq_entries), lambda k, v: v.isNotNull()
+            )
+            fold = (
+                F.coalesce(F.col("_ndel"), F.lit(0)).cast("long")
+                + F.coalesce(F.col("_ntouch"), F.lit(0))
+            )
+            for c in payload_cols:
+                fold = fold + F.coalesce(F.col(col_seq_col(c)), F.lit(0))
+
+            full = resolved.select(
+                *m.key_cols, *payload_cols,
+                F.when(F.col("_is_live"), F.lit("UPSERT"))
+                .otherwise(F.lit("DELETE")).alias("op"),
+                F.greatest(*ents, F.col("_ndel"), F.col("_ntouch"))
+                .alias("seq"),
+                cseq_map.alias(CSEQ_COL),
+                fold.alias(FOLD_COL),
+            )
 
             # collapse already produced exactly one row per key (and the
             # stored side is itself LWW-reduced), so merge() can skip its

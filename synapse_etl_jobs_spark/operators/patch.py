@@ -33,6 +33,13 @@ non-DELETE seqs — a few bytes of state per (key, column) per scan
 partition, so a hot key never concentrates raw events on one reducer.
 Events with a null ``seq`` are dropped up front (same malformed-input
 rule the stateful LWW filter pins: an unordered event can never win).
+
+Besides the collapsed values, the output carries the CRDT state the
+lake's ``merge_patches`` persists per key — per-column winner seqs
+(``_colseq_<c>``) and the batch's max DELETE seq (``_bdel``) — which is
+what makes patch application ORDER-INSENSITIVE across batches: merging
+two collapsed states is a pointwise max, so replaying batches in any
+order converges to the same table state (see ``LakeTable.merge_patches``).
 """
 
 from __future__ import annotations
@@ -51,6 +58,13 @@ def set_flag_col(c: str) -> str:
     return f"_set_{c}"
 
 
+def col_seq_col(c: str) -> str:
+    """Name of the per-column winner-seq output column (the seq of the
+    latest in-batch event that set ``c`` after the batch's last DELETE;
+    null when the batch leaves ``c`` unset)."""
+    return f"_colseq_{c}"
+
+
 def collapse_patches(
     events: DataFrame,
     key_cols: Sequence[str],
@@ -64,11 +78,14 @@ def collapse_patches(
 
     Returns columns: ``key_cols``, ``seq`` (max event seq for the key),
     ``op`` ('UPSERT' or 'DELETE'), each payload column (its collapsed
-    value, null when unset), and ``_set_<col>`` booleans marking which
-    payload columns the batch actually set after its last DELETE — the
-    merge side uses them to inherit the remaining columns from the
-    stored row. ``_wipe_base`` is true when the batch contains a DELETE,
-    meaning stored values must NOT be inherited (the delete wiped them).
+    value, null when unset), ``_set_<col>`` booleans marking which
+    payload columns the batch actually set after its last DELETE,
+    ``_colseq_<col>`` (the winning set-event's seq, null when unset —
+    the per-column half of the CRDT state ``merge_patches`` persists),
+    ``_bdel`` (the batch's max DELETE seq, null if none), ``_btouch``
+    (the batch's max non-DELETE seq — key existence), and ``_wipe_base``
+    (true when the batch contains a DELETE — within-batch shorthand for
+    ``_bdel IS NOT NULL``).
     """
     from synapse_etl_jobs_spark.operators.dedup import _contains_map
 
@@ -123,5 +140,11 @@ def collapse_patches(
             v = F.from_json(v, events.schema[c].dataType)
         out_cols.append(F.when(set_c, v).alias(c))
         out_cols.append(set_c.alias(set_flag_col(c)))
+        out_cols.append(F.when(set_c, w["s"]).alias(col_seq_col(c)))
+    out_cols.append(F.col(_DEL_SEQ).alias("_bdel"))
+    # max non-DELETE event seq — key existence under the contract is
+    # "any non-DELETE event after the last DELETE", which an empty-set
+    # PATCH satisfies without setting a single column
+    out_cols.append(F.col(_LIVE_SEQ).alias("_btouch"))
     out_cols.append(F.col(_DEL_SEQ).isNotNull().alias("_wipe_base"))
     return g.select(*out_cols)

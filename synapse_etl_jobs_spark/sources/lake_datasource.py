@@ -65,6 +65,8 @@ if TYPE_CHECKING:  # pragma: no cover
 
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
+CSEQ_COL = "_cseq"
+FOLD_COL = "_fold"
 
 # ---------------------------------------------------------------------------
 # Pure-Python Spark xxhash64 (XXH64, Spark's per-type specialization).
@@ -229,6 +231,20 @@ def _logical_schema(man: dict) -> StructType:
     return StructType.fromJson(man["schemas"][sid]["schema"])
 
 
+def _physical_schema(man: dict) -> StructType:
+    """Logical schema + internal columns, matching
+    LakeTable._stored_schema: patch-enabled tables (props.patch_seqs)
+    additionally store the per-column CRDT state (_cseq/_fold)."""
+    st = StructType.fromJson(_logical_schema(man).jsonValue())
+    st = st.add(SEQ_COL, "long", True).add(DELETED_COL, "boolean", True)
+    if (man.get("props") or {}).get("patch_seqs"):
+        from pyspark.sql.types import LongType, MapType, StringType
+
+        st = st.add(CSEQ_COL, MapType(StringType(), LongType()), True)
+        st = st.add(FOLD_COL, "long", True)
+    return st
+
+
 def _file_plan(man: dict, entries: list[dict]) -> list[dict]:
     """Per-file read plan: path + the rename map of its schema epoch."""
     plan = []
@@ -313,8 +329,17 @@ def _lww_reduce_arrow(t: "pa.Table", key_cols: list[str]) -> "pa.Table":
             pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
         )
     small = pd.DataFrame(codes)
-    # stable ordering: sort by seq then original position, keep last per key
-    order = np.lexsort((np.arange(len(seq)), seq))
+    # stable ordering: sort by (seq, fold, original position), keep last
+    # per key. The fold counter exists on patch-enabled tables only: two
+    # versions of a key can tie on _seq there, and the strictly-increasing
+    # fold picks the latest written CRDT state (see LakeTable._lww_stored).
+    if FOLD_COL in t.column_names:
+        fold = pc.fill_null(
+            pc.coalesce(t.column(FOLD_COL), t.column(SEQ_COL)), -(1 << 63)
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.arange(len(seq)), fold, seq))
+    else:
+        order = np.lexsort((np.arange(len(seq)), seq))
     winners = small.iloc[order].drop_duplicates(subset=key_cols, keep="last").index
     idx = np.sort(winners.to_numpy())
     return t.take(idx)
@@ -325,7 +350,9 @@ def _drop_tombstones(t: "pa.Table") -> "pa.Table":
 
     mask = pc.invert(pc.fill_null(t.column(DELETED_COL), False))
     t = t.filter(mask)
-    return t.drop_columns([SEQ_COL, DELETED_COL])
+    drop = [c for c in (SEQ_COL, DELETED_COL, CSEQ_COL, FOLD_COL)
+            if c in t.column_names]
+    return t.drop_columns(drop)
 
 
 @dataclass
@@ -377,9 +404,7 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
             str(options.get("include_internal", "false")).lower() == "true"
         )
         logical = _logical_schema(self._man)
-        physical = StructType.fromJson(logical.jsonValue()).add(
-            SEQ_COL, "long", True
-        ).add(DELETED_COL, "boolean", True)
+        physical = _physical_schema(self._man)
         super().__init__(
             _arrow_schema_of(physical),
             list(self._man["key_cols"]),
@@ -390,9 +415,7 @@ class LakeBatchReader(_LakeReaderBase, DataSourceReader):
 
     def spark_schema(self) -> StructType:
         if self._include_internal:
-            return StructType.fromJson(self._logical.jsonValue()).add(
-                SEQ_COL, "long", True
-            ).add(DELETED_COL, "boolean", True)
+            return _physical_schema(self._manifest())
         return self._logical
 
     def __getstate__(self):
@@ -484,9 +507,7 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
         mvpt = options.get("maxversionspertrigger", options.get("maxVersionsPerTrigger"))
         self._max_versions = int(mvpt) if mvpt is not None else None
         man = _load_manifest(self._path)
-        physical = StructType.fromJson(_logical_schema(man).jsonValue()).add(
-            SEQ_COL, "long", True
-        ).add(DELETED_COL, "boolean", True)
+        physical = _physical_schema(man)
         super().__init__(
             _arrow_schema_of(physical), list(man["key_cols"]), drop_internal=False
         )

@@ -163,10 +163,11 @@ def stream_into_table(
     the reference uses); set False for continuous micro-batches.
 
     ``patches=True`` routes micro-batches through ``merge_patches`` —
-    partial-column change events (see operators/patch.py). Safe under
-    Structured Streaming's ordering guarantee: micro-batches replay in
-    the same order with the same ids, which is exactly the in-order
-    contract ``merge_patches`` requires.
+    partial-column change events (see operators/patch.py). Patch
+    application is order-insensitive (per-column CRDT state persisted
+    with each row), so correctness does not depend on Structured
+    Streaming's micro-batch ordering — replay from any checkpoint, or a
+    stale batch redelivered under a fresh id, reconverges.
     """
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if patches:

@@ -123,6 +123,116 @@ def test_delete_tombstone_survives_patch_resurrection_guard(spark, table):
     assert _read_state(table)[1] == (None, 99.0)  # a NOT resurrected
 
 
+B3 = [
+    (1, None, None, "DELETE", 15, None),
+    (5, "a5", 5.0, "UPSERT", 16, None),
+    (2, None, 22.0, "PATCH", 17, ["b"]),
+]
+
+
+def test_patch_merge_order_insensitive(spark, tmp_path_factory):
+    """Patch batches converge to the same state in ANY application
+    order (per-column CRDT state persisted with each row — the merge is
+    a join-semilattice pointwise max, see LakeTable.merge_patches)."""
+    import itertools
+
+    expect = _apply_oracle(B1 + B2 + B3)
+    for mode in ("cow", "mor"):
+        for perm in itertools.permutations([B1, B2, B3]):
+            root = tmp_path_factory.mktemp("ooo")
+            t = LakeTable.create(spark, str(root / "t"), SCHEMA, ["k"],
+                                 num_buckets=2, write_mode=mode)
+            for bid, batch in enumerate(perm):
+                t.merge_patches(_ev(spark, batch), stream_id="s", batch_id=bid)
+            assert _read_state(t) == expect, (mode, perm)
+
+
+def test_patch_redelivery_fresh_id_writes_zero_rows(spark, table):
+    """A redelivered batch under a NEW batch id contributes nothing to
+    any key's CRDT state, so zero rows are written (not merely 'the
+    values happen to match')."""
+    table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
+    table.merge_patches(_ev(spark, B2), stream_id="s", batch_id=1)
+    final = _read_state(table)
+    r = table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=99)
+    assert r["rows_written"] == 0
+    assert _read_state(table) == final
+
+
+def test_stale_patch_cannot_clobber_newer_column(spark, table):
+    """The round-3 gap this algebra closes: a stale patch arriving in a
+    LATER batch (lower seq, higher batch id) must not overwrite a newer
+    column value — including values written by the FULL-ROW merge path."""
+    table.merge(
+        spark.createDataFrame([(1, "new", 10.0, "UPSERT", 10)],
+                              "k long, a string, b double, op string, seq long"),
+        stream_id="s", batch_id=0)
+    # stale patch to a (seq 9 < 10) in a later batch: must lose
+    table.merge_patches(_ev(spark, [(1, "stale", None, "PATCH", 9, ["a"])]),
+                        stream_id="s", batch_id=1)
+    # fresh patch to b (seq 11): must win, a keeps the full-row value
+    table.merge_patches(_ev(spark, [(1, None, 11.5, "PATCH", 11, ["b"])]),
+                        stream_id="s", batch_id=2)
+    assert _read_state(table) == {1: ("new", 11.5)}
+
+
+def test_stale_predelete_patch_cannot_resurrect(spark, table):
+    """A DELETE's seq bounds every column: a pre-delete patch delivered
+    AFTER the delete batch must not resurrect the key or any column."""
+    table.merge_patches(_ev(spark, [(1, "x", 1.0, "UPSERT", 1, None),
+                                    (1, None, None, "DELETE", 20, None)]),
+                        stream_id="s", batch_id=0)
+    table.merge_patches(_ev(spark, [(1, "ghost", None, "PATCH", 5, ["a"])]),
+                        stream_id="s", batch_id=1)
+    assert 1 not in _read_state(table)
+    # but a post-delete patch DOES re-create the key sparsely
+    table.merge_patches(_ev(spark, [(1, None, 9.0, "PATCH", 21, ["b"])]),
+                        stream_id="s", batch_id=2)
+    assert _read_state(table)[1] == (None, 9.0)
+
+
+def test_patch_property_out_of_order_batches(spark, tmp_path_factory):
+    """Property: RANDOM patch streams split into chunks and applied in
+    a RANDOM batch order converge to the in-seq-order hand-applied
+    state (hypothesis-driven; the OOO analog of the in-order property
+    test above)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    event_st = st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["x", "y", "z"]),
+        st.sampled_from([1.0, 2.5, None]),
+        st.sampled_from(["UPSERT", "PATCH", "PATCH", "DELETE"]),
+        st.just(0),
+        st.sampled_from([["a"], ["b"], ["a", "b"]]),
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=st.lists(event_st, min_size=2, max_size=24),
+           cuts=st.tuples(st.integers(1, 23), st.integers(1, 23)),
+           order=st.permutations([0, 1, 2]),
+           mode=st.sampled_from(["cow", "mor"]))
+    def run(raw, cuts, order, mode):
+        events = [
+            (k, a, b, op, i + 1, set_cols if op == "PATCH" else None)
+            for i, (k, a, b, op, _s, set_cols) in enumerate(raw)
+        ]
+        c1, c2 = sorted(min(c, len(events)) for c in cuts)
+        chunks = [events[:c1], events[c1:c2], events[c2:]]
+        root = tmp_path_factory.mktemp("patchooo")
+        t = LakeTable.create(spark, str(root / "t"), SCHEMA, ["k"],
+                             num_buckets=2, write_mode=mode)
+        for bid, ci in enumerate(order):
+            if chunks[ci]:
+                t.merge_patches(_ev(spark, chunks[ci]), stream_id="s",
+                                batch_id=bid)
+        assert _read_state(t) == _apply_oracle(events)
+
+    run()
+
+
 def test_rollback_restores_state_and_markers(spark, table):
     table.merge_patches(_ev(spark, B1), stream_id="s", batch_id=0)
     v1 = table.manifest.table_version
