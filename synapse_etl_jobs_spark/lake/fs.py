@@ -1,20 +1,24 @@
 """Filesystem layer for the lake table.
 
-The manifest/commit protocol needs six primitives: atomic text swap,
-text read, existence check, mkdirs, recursive delete, and a recursive
-parquet listing. ``LocalFS`` implements them with POSIX calls (the
-sandbox default). ``HadoopFS`` implements the SAME contract through the
-JVM's ``org.apache.hadoop.fs.FileSystem`` via the active SparkSession —
-the code path a real cluster uses for ``hdfs://`` / ``s3a://`` /
-``file:`` table locations, testable in-sandbox with ``file:`` URIs
-(the JVM resolves them through the exact Hadoop API a cluster would).
+The manifest/commit protocol needs seven primitives: atomic text swap,
+atomic create-if-absent, text read, existence check, mkdirs, recursive
+delete, and a recursive parquet listing. ``LocalFS`` implements them
+with POSIX calls (the sandbox default). ``HadoopFS`` implements the
+SAME contract through the JVM's ``org.apache.hadoop.fs.FileSystem`` via
+the active SparkSession — the code path a real cluster uses for
+``hdfs://`` / ``s3a://`` / ``file:`` table locations, testable
+in-sandbox with ``file:`` URIs (the JVM resolves them through the exact
+Hadoop API a cluster would).
 
-Atomicity note: the commit pointer swap is ``rename``, which is atomic
-on POSIX and HDFS. Object stores (S3) rename non-atomically; production
-deployments put the pointer swap behind a catalog CAS (Iceberg's
-metastore swap — the engine already enforces optimistic concurrency on
-top, see ``ConcurrentWriteError``), so the FS layer's rename is the
-single method to override there.
+Atomicity note: commit arbitration is ``write_text_if_absent`` on the
+version file — atomic create-no-overwrite (POSIX ``link``; Hadoop's
+non-clobbering ``rename``), so two writers racing the same parent
+version cannot both commit. The CURRENT pointer swap is ``rename``,
+atomic on POSIX and HDFS, and the pointer is only a HINT (readers
+probe forward for committed versions — see ``LakeTable`` commit
+protocol). Object stores (S3) rename non-atomically; production
+deployments put BOTH primitives behind a catalog CAS (Iceberg's
+metastore swap), so these two methods are the single override point.
 """
 
 from __future__ import annotations
@@ -58,6 +62,26 @@ class LocalFS:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)  # POSIX-atomic; production: catalog CAS here
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text`` iff it does not
+        exist; return False (without writing) when it does. ``link`` is
+        the POSIX create-no-overwrite primitive that also publishes the
+        FULL contents atomically (the target appears only after the tmp
+        file is complete and fsynced) — ``O_EXCL`` + write would expose
+        a partially-written file to concurrent readers."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     def read_text(self, path: str) -> str:
         with open(path) as f:
@@ -174,6 +198,27 @@ class HadoopFS:
         # the rename itself gets NO fallback: with FileContext present, a
         # rename failure is a real IO error and must surface as one
         fc.rename(self._path(tmp), self._path(path), opts)
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        """Atomic create-no-overwrite via Hadoop's NON-clobbering
+        ``FileSystem.rename`` (atomic on HDFS, refuses an existing
+        destination): the contents are complete before the target name
+        appears, and two racers cannot both succeed. Object stores
+        override this with a catalog CAS (rename is a copy there)."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        fs = self._fs(path)
+        out = fs.create(self._path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            out.hflush()
+        finally:
+            out.close()
+        if fs.rename(self._path(tmp), self._path(path)):
+            return True
+        fs.delete(self._path(tmp), False)
+        if fs.exists(self._path(path)):
+            return False  # lost the race: another writer created it
+        raise IOError(f"create-if-absent rename {tmp} -> {path} failed")
 
     def read_text(self, path: str) -> str:
         fs = self._fs(path)

@@ -465,10 +465,27 @@ class LakeTable:
     @classmethod
     def load(cls, spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
         fs = filesystem_for(path, spark)
-        mdir = cls._manifest_dir(path)
         if version is None:
-            version = int(fs.read_text(os.path.join(mdir, "CURRENT")).strip())
+            version = cls._resolve_current(path, fs)
         return cls(spark, path, cls._read_manifest(path, version, fs))
+
+    @classmethod
+    def _resolve_current(cls, path: str, fs) -> int:
+        """Current table version = the highest COMMITTED version file,
+        located by probing forward from the CURRENT pointer. The version
+        file is the commit arbiter (created atomically, never
+        overwritten — see ``_commit_manifest``); CURRENT is a hint that
+        normally points at the head but can lag one commit behind when a
+        writer crashed between creating its version file and swapping
+        the pointer. Probing costs one extra ``exists`` in the common
+        case and adopts such an orphaned-but-durable commit instead of
+        wedging every later writer on a version file that already
+        exists."""
+        mdir = cls._manifest_dir(path)
+        version = int(fs.read_text(os.path.join(mdir, "CURRENT")).strip())
+        while fs.exists(os.path.join(mdir, f"v{version + 1:012d}.json")):
+            version += 1
+        return version
 
     @classmethod
     def _read_manifest(cls, path: str, version: int, fs) -> Manifest:
@@ -496,15 +513,20 @@ class LakeTable:
         cls, path: str, m: Manifest, fs, ref_source: "Manifest | None" = None
     ) -> None:
         """Commit = write the per-bucket side files this commit CHANGED,
-        then the root version file, then swap CURRENT — guarded by an
-        optimistic compare-and-set: if CURRENT no longer points at this
-        commit's parent, another writer won the race and this commit must
-        abort instead of silently clobbering their manifest chain (lost
-        update). This is exactly the check an Iceberg catalog performs
-        server-side; the local-FS version is best-effort (check-then-
-        replace is not atomic across processes) but turns the documented
-        single-writer ASSUMPTION into an enforced invariant with a clear
-        error.
+        then CREATE the root version file, then swap CURRENT. The
+        version-file creation is the commit point and the concurrency
+        arbiter: it uses atomic create-no-overwrite semantics
+        (``write_text_if_absent`` — POSIX ``link`` locally, Hadoop's
+        non-clobbering rename on HDFS), so of two writers racing from
+        the same parent exactly ONE creates ``v{N}.json`` and the other
+        aborts with ``ConcurrentWriteError`` — no interleaving can lose
+        an update. The cheap optimistic check against the resolved
+        current version runs first only to fail fast (before side files
+        are written) in the common detected-conflict case. This is the
+        same shape as an Iceberg catalog CAS, with the version file
+        standing in for the catalog row; readers treat CURRENT as a
+        hint and probe forward (``_resolve_current``), so a writer crash
+        between the two steps leaves a readable, repairable table.
 
         Sharding (Iceberg manifest-list analog): ``ref_source`` is the
         manifest this commit derived its ``buckets`` dict from; any
@@ -526,12 +548,12 @@ class LakeTable:
         mdir = cls._manifest_dir(path)
         cur_path = os.path.join(mdir, "CURRENT")
         if m.parent_version is not None and fs.exists(cur_path):
-            cur = int(fs.read_text(cur_path).strip())
+            cur = cls._resolve_current(path, fs)
             if cur != m.parent_version:
                 raise ConcurrentWriteError(
-                    f"commit of version {m.table_version} expected CURRENT="
-                    f"{m.parent_version} but found {cur}: another writer "
-                    "committed concurrently; reload the table and retry"
+                    f"commit of version {m.table_version} expected current "
+                    f"version {m.parent_version} but found {cur}: another "
+                    "writer committed concurrently; reload the table and retry"
                 )
         retention = m.props.get("marker_retention_versions")
         if retention:
@@ -562,7 +584,13 @@ class LakeTable:
             refs[b] = ref
         m.bucket_refs = refs
         mpath = os.path.join(mdir, f"v{m.table_version:012d}.json")
-        fs.write_text_atomic(mpath, m.root_json())
+        # THE commit point: atomic create-no-overwrite arbitrates racing
+        # writers — exactly one v{N}.json creation can succeed
+        if not fs.write_text_if_absent(mpath, m.root_json()):
+            raise ConcurrentWriteError(
+                f"version {m.table_version} was committed by another writer "
+                "while this commit was staging; reload the table and retry"
+            )
         fs.write_text_atomic(cur_path, str(m.table_version))
 
     # ------------------------------------------------------------------- read

@@ -205,8 +205,7 @@ def _local(path: str) -> str:
 def _load_manifest(path: str, version: int | None = None) -> dict:
     mdir = os.path.join(_local(path), "_manifests")
     if version is None:
-        with open(os.path.join(mdir, "CURRENT")) as f:
-            version = int(f.read().strip())
+        version = _current_version(path)
     with open(os.path.join(mdir, f"v{version:012d}.json")) as f:
         d = json.load(f)
     if "buckets" not in d:
@@ -222,8 +221,15 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _current_version(path: str) -> int:
-    with open(os.path.join(_local(path), "_manifests", "CURRENT")) as f:
-        return int(f.read().strip())
+    """Head version = highest committed version file, probing forward
+    from the CURRENT pointer (a hint that can lag one commit behind a
+    crashed writer — mirrors LakeTable._resolve_current)."""
+    mdir = os.path.join(_local(path), "_manifests")
+    with open(os.path.join(mdir, "CURRENT")) as f:
+        version = int(f.read().strip())
+    while os.path.exists(os.path.join(mdir, f"v{version + 1:012d}.json")):
+        version += 1
+    return version
 
 
 def _logical_schema(man: dict) -> StructType:
