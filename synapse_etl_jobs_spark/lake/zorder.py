@@ -173,7 +173,10 @@ def zorder_column(
     distribution, plus the total code width in bits (callers split the
     code's top bits into file ranges). ``hash_cols`` (a row-unique
     column set, e.g. the table keys) keeps the boundary-sampling scans
-    narrow — see ``sample_boundaries``."""
+    narrow — see ``sample_boundaries``. It must actually BE row-unique:
+    a low-cardinality ``hash_cols`` makes the sample all-or-nothing per
+    value (the skew the row hash exists to avoid); ``compact()`` passes
+    the table key columns, which are unique by the merge contract."""
     bounds = sample_boundaries(
         df, cols, bits=bits, sample_rows=sample_rows, seed=seed,
         hash_cols=hash_cols,

@@ -286,8 +286,11 @@ def exact_duplicate_map(
     identical documents share every band bucket, so feeding a k-clone
     cluster into the banded self-join emits O(k²) candidate pairs; after
     collapsing, the cluster enters LSH as ONE representative and its
-    membership is recovered as k-1 star pairs (rep, member) — O(k). The
-    digest aggregate is map-side combinable (one shuffle on the digest).
+    membership is recovered as k-1 star pairs (rep, member) — O(k).
+    Implemented as a min over a digest-partitioned window: one exchange
+    on the digest (whole rows shuffled — not map-side combinable, but
+    the rows are slim (id, digest) pairs and it beats the agg+join-back
+    shape that would digest both join sides; see the body comment).
     """
     from pyspark.sql.window import Window
 
@@ -299,6 +302,8 @@ def exact_duplicate_map(
     # ``digests``: a precomputed (id_col, _dg) frame — callers that
     # ALSO verify at threshold 1.0 compute the digest once and share it
     # (the digest pass is the dominant cost; see ``_verified_pairs``).
+    # Contract: it must cover EVERY id of ``df`` — ids it misses drop
+    # out of the map (and out of downstream candidates) silently.
     d = digests if digests is not None else df.select(
         F.col(id_col), shingle_set_hash(text_col, shingle_k).alias("_dg")
     )
@@ -373,6 +378,14 @@ def minhash_lsh_candidates(
       cap before the self-join (``cap_bucket_groups``); use
       ``capped_group_stats`` on ``minhash_index(df, ...)`` to log what a
       cap drops.
+
+    ``digests`` (optional, only read when ``collapse_exact=True``): a
+    precomputed (id_col, _dg) shingle-digest frame shared with a
+    verification pass so the text is digested once. Contract: it MUST
+    cover every ``id_col`` of ``df`` (same contract as
+    ``verify_exact_duplicates``) — ids missing from ``digests`` never
+    reach the collapse map and would be silently dropped from the
+    candidate output, not erred on.
     """
     star = None
     src = df

@@ -228,6 +228,15 @@ def dedup_stream_into_table(
             # (minhash_index(kept) would re-shingle every survivor; the
             # checkpointed rows make this a semijoin on materialized
             # data, one of the two per-batch text passes this saves)
+            if "nb" not in captured:  # pragma: no cover — refactor guard
+                raise RuntimeError(
+                    "minhash_dedup_incremental did not invoke "
+                    "observe_banding: the index merge below DEPENDS on the "
+                    "captured banding (it is the survivors' index rows) — "
+                    "a refactor that skips or early-returns around the hook "
+                    "must keep it, or this path must fall back to "
+                    "minhash_index(kept)"
+                )
             new_index = (
                 captured["nb"]
                 .join(

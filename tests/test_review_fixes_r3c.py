@@ -37,7 +37,22 @@ def _docs(spark, n=30, prefix="d"):
     return spark.createDataFrame(rows, "doc_id string, text string")
 
 
-def test_cap_probed_index_honors_broadcast_flag(spark):
+@pytest.fixture
+def no_auto_broadcast(spark):
+    """Disable the planner's SIZE-based auto-broadcast so the
+    no-BroadcastExchange assertions pin the HINT behavior (what the
+    code controls), not this Spark version's stats estimates — a tiny
+    test frame could otherwise be auto-broadcast on a different
+    version and flip the structural check spuriously."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cap_probed_index_honors_broadcast_flag(spark, no_auto_broadcast):
     corpus = _docs(spark, 40, "c")
     batch = _docs(spark, 10, "n")
     index = minhash_index(corpus)
@@ -59,7 +74,7 @@ def test_cap_probed_index_honors_broadcast_flag(spark):
     )
 
 
-def test_cap_probed_index_shuffle_fallback_direct(spark):
+def test_cap_probed_index_shuffle_fallback_direct(spark, no_auto_broadcast):
     index_rows = spark.createDataFrame(
         [(f"c{i}", b, i % 4) for i in range(40) for b in range(3)],
         "doc_id string, band int, bucket int",
