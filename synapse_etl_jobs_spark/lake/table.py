@@ -717,6 +717,21 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(rename.get(c, c)) for c in df.columns]
                 )
+                if CSEQ_COL in df.columns:
+                    # the per-column CRDT state keys columns BY NAME:
+                    # epoch renames must translate the map keys too, or
+                    # a renamed column's stored winner seq is orphaned
+                    # and a stale later-batch patch could clobber it
+                    km = F.create_map(
+                        *[F.lit(x) for kv in rename.items() for x in kv]
+                    )
+                    df = df.withColumn(
+                        CSEQ_COL,
+                        F.transform_keys(
+                            F.col(CSEQ_COL),
+                            lambda k, _v: F.coalesce(km[k], k),
+                        ),
+                    )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -10,6 +10,7 @@ match.
 """
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from synapse_etl_jobs_spark.lake import LakeTable
@@ -189,6 +190,35 @@ def test_stale_predelete_patch_cannot_resurrect(spark, table):
     table.merge_patches(_ev(spark, [(1, None, 9.0, "PATCH", 21, ["b"])]),
                         stream_id="s", batch_id=2)
     assert _read_state(table)[1] == (None, 9.0)
+
+
+def test_patch_cseq_survives_column_rename(spark, table):
+    """Epoch renames must translate the per-column CRDT map keys: after
+    renaming a -> a2, a stale out-of-order patch to a2 must still lose
+    to the pre-rename write (whose winner seq was recorded under 'a')."""
+    table.merge_patches(_ev(spark, [(1, "newer", 1.0, "UPSERT", 10, None)]),
+                        stream_id="s", batch_id=0)
+    table.evolve_schema(renames={"a": "a2"})
+    # stale patch (seq 9 < 10) to the RENAMED column arrives late
+    table.merge_patches(
+        spark.createDataFrame([(1, "stale", 9)],
+                              "k long, a2 string, seq long")
+        .select("k", "a2", F.lit(None).cast("double").alias("b"),
+                F.lit("PATCH").alias("op"), "seq",
+                F.array(F.lit("a2")).alias("set_cols")),
+        stream_id="s", batch_id=1)
+    rows = {r["k"]: (r["a2"], r["b"]) for r in table.read().collect()}
+    assert rows == {1: ("newer", 1.0)}
+    # and a genuinely fresh patch to the renamed column still wins
+    table.merge_patches(
+        spark.createDataFrame([(1, "fresh", 11)],
+                              "k long, a2 string, seq long")
+        .select("k", "a2", F.lit(None).cast("double").alias("b"),
+                F.lit("PATCH").alias("op"), "seq",
+                F.array(F.lit("a2")).alias("set_cols")),
+        stream_id="s", batch_id=2)
+    rows = {r["k"]: (r["a2"], r["b"]) for r in table.read().collect()}
+    assert rows == {1: ("fresh", 1.0)}
 
 
 def test_patch_property_out_of_order_batches(spark, tmp_path_factory):
