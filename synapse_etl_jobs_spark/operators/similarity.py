@@ -430,6 +430,94 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
+def _exact_candidates_blocked(
+    c: DataFrame,
+    *,
+    threshold: float,
+    block_rows: int = 2048,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """All-pairs cosine CANDIDATES via blocked matrix multiply: (id_a <
+    id_b) pairs whose numpy-float64 cosine is ≥ threshold − margin.
+
+    The naive exact path — a nested-loop cross join evaluating the
+    ``cosine`` expression per pair — costs O(n²) *expression
+    interpretations*; at 40k vectors (8·10⁸ pairs) it runs for hours.
+    This kernel gets the same arithmetic from BLAS: ids are hashed into
+    ⌈n/block_rows⌉ blocks, every block PAIR (bi ≤ bj) becomes one
+    ``applyInPandas`` group that receives both blocks' rows
+    (Arrow-batched) and computes the full inter-block similarity matrix
+    with one float64 matmul — ~three orders of magnitude faster per
+    pair, parallel over B(B+1)/2 independent tasks, peak task memory
+    ≈ block_rows² · 8 bytes (32 MB at the default). Data amplification
+    is (B+1)× over slim (id, vec) rows — the inherent cost of exact
+    all-pairs; the LSH method is the path that avoids it.
+
+    Caller contract: this returns CANDIDATES under a conservative
+    margin (float64 matmul error for unit-scale vectors is ~1e-14,
+    margin is 1e-6); the caller re-scores survivors with the same
+    ``cosine`` Spark expression the naive path used, so the final
+    output is bit-identical to the nested-loop formulation while the
+    quadratic work happens in BLAS.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = c.count()
+    nblocks = max(1, math.ceil(n / block_rows))
+    spark = c.sparkSession
+    meta = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        "bi int, bj int",
+    )
+    tagged = c.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
+    )
+    side_a = tagged.join(meta, tagged["_blk"] == meta["bi"]).select(
+        "bi", "bj", "_id", "_v", F.lit(0).alias("_side")
+    )
+    side_b = tagged.join(
+        meta, (tagged["_blk"] == meta["bj"]) & (meta["bi"] != meta["bj"])
+    ).select("bi", "bj", "_id", "_v", F.lit(1).alias("_side"))
+    both = side_a.unionByName(side_b)
+
+    id_type = c.schema["_id"].dataType.simpleString()
+    cut = float(threshold) - float(margin)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        same = int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0])
+        a = pdf[pdf["_side"] == 0]
+        b = a if same else pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.array([np.asarray(v, dtype=np.float64) for v in a["_v"]])
+        mb = ma if same else np.array(
+            [np.asarray(v, dtype=np.float64) for v in b["_v"]]
+        )
+        na = np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+        nb = na if same else np.maximum(
+            np.linalg.norm(mb, axis=1, keepdims=True), 1e-12
+        )
+        sims = (ma / na) @ (mb / nb).T
+        ia, ib = np.nonzero(sims >= cut)
+        pa = a["_id"].to_numpy()[ia]
+        pb = b["_id"].to_numpy()[ib]
+        if same:
+            keep = pa < pb  # dedupe mirrored pairs + drop the diagonal
+            pa, pb = pa[keep], pb[keep]
+        else:
+            lo = np.where(pa < pb, pa, pb)
+            hi = np.where(pa < pb, pb, pa)
+            pa, pb = lo, hi
+        return pd.DataFrame({"id_a": pa, "id_b": pb})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        score, f"id_a {id_type}, id_b {id_type}"
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     *,
@@ -465,9 +553,10 @@ def embedding_neardup_pairs(
     """
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if method == "exact":
+        cand = _exact_candidates_blocked(c, threshold=threshold)
         a = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
         b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     elif method == "lsh":
         sigs = rp_signatures(
             c, id_col="_id", vec_col="_v", bits=bits, tables=tables, seed=seed

@@ -280,3 +280,38 @@ def test_ivf_lloyd_refinement(spark):
     # query's nearest exact neighbor for most queries (recall sanity)
     part = ivf_topk(e, q, k=3, n_cells=8, n_probe=3, refine_iters=2)
     assert part.groupBy("query_id").count().filter("count != 3").count() == 0
+
+
+def test_blocked_exact_candidates_match_naive(spark):
+    """The blocked BLAS candidate kernel + Spark re-score must reproduce
+    the naive nested-loop exact formulation bit-identically, including
+    across block boundaries (block_rows forced tiny so the sf0.001
+    corpus spans many block pairs)."""
+    import pyspark.sql.functions as F
+    from synapse_etl_jobs_spark.operators.similarity import (
+        _exact_candidates_blocked, cosine,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    thr = 0.30  # low enough to produce a real pair set on this corpus
+    a = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= thr)
+    )
+    cand = _exact_candidates_blocked(c, threshold=thr, block_rows=37)
+    blocked = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= thr)
+    )
+    nv = {(r["id_a"], r["id_b"]): r["sim"] for r in naive.collect()}
+    bl = {(r["id_a"], r["id_b"]): r["sim"] for r in blocked.collect()}
+    assert nv == bl
+    assert len(nv) > 0
+    # candidate set never contains a mirrored or diagonal pair
+    assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0
