@@ -48,8 +48,11 @@ from synapse_etl_jobs_spark.lake import LakeTable
 from synapse_etl_jobs_spark.streaming import ReplayDriver
 
 cores, n, batches, src = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+import os
+stage_stats_out = os.environ.get("SCALE_STAGE_STATS")
+extra = {{"spark.ui.enabled": "true", "spark.ui.port": "0"}} if stage_stats_out else None
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 schema = (StructType().add("repo","string").add("path","string")
           .add("commit","string").add("lang","string").add("content","string"))
@@ -71,6 +74,26 @@ chk = t.read().agg(
     F.expr("bit_xor(xxhash64(repo, path, commit, lang, sha2(content, 256)))")
      .alias("sha_xor"),
 ).collect()[0]
+if stage_stats_out:
+    # per-stage I/O + shuffle volumes from the live UI REST API — the
+    # evidence a reader needs to sanity-check 10^10-event extrapolation
+    # (what actually crosses the "wire" per replayed batch)
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(base + "/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        base + f"/api/v1/applications/{{app_id}}/stages?status=complete"))
+    rows_out = [{{
+        "stage": s["stageId"], "name": s["name"].split(" at ")[0],
+        "tasks": s["numCompleteTasks"],
+        "input_mb": round(s["inputBytes"] / 1e6, 1),
+        "output_mb": round(s["outputBytes"] / 1e6, 1),
+        "shuffle_read_mb": round(s["shuffleReadBytes"] / 1e6, 1),
+        "shuffle_write_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
+    }} for s in sorted(stages, key=lambda s: s["stageId"])]
+    with open(stage_stats_out.format(cores=cores), "w") as f:
+        json.dump(rows_out, f, indent=1)
 shutil.rmtree(tmp, ignore_errors=True)
 print(json.dumps({{"cores": cores, "wall_sec": round(wall,2),
                   "events_per_sec": round(n/wall,1), "rows": chk["rows"],
