@@ -982,6 +982,17 @@ def minhash_dedup_incremental(
       where the O(k²) hazard actually lives (a histogram over the
       post-dedup survivors would measure the skew AFTER dedup removed
       it). Near-free — the rows are already materialized.
+    - Index digest columns: when ``threshold >= 1.0`` and the supplied
+      index (or loader result) carries ``(_dg, _batch)`` columns (see
+      streaming ``create_dedup_tables(store_digests=True)``),
+      verification digests come straight off the index rows
+      (``max_by(_dg, _batch)`` per candidate id — latest write wins, so
+      ghost rows of re-ingested documents can't resurrect old text) and
+      the corpus table is NEVER scanned: per-batch cost is O(batch +
+      probed-index rows) at any corpus size.
+    - ``collapse_exact`` at ``threshold >= 1.0`` also skips the
+      within-batch self-join entirely: post-collapse digests are
+      pairwise distinct, so no within pair can verify — dead work.
     - ``observe_digests``: callable receiving the batch's checkpointed
       RAW-batch ``(id, _dg)`` shingle-set digest frame (only fires when
       one is computed, i.e. ``collapse_exact`` or ``threshold >= 1.0``).
@@ -1032,6 +1043,19 @@ def minhash_dedup_incremental(
         index = index_loader(nb.select("band", "bucket").distinct())
     elif index is None:
         index = minhash_index(corpus_df, id_col=id_col, text_col=text_col, **lsh)
+    # an index created with digest columns (see streaming
+    # create_dedup_tables(store_digests=True)) lets threshold-1.0
+    # verification run off index rows alone: candidate corpus TEXT is
+    # never read, so the per-batch probe cost stays O(batch +
+    # probed-index rows) even when the corpus is 100 TB. max_by on
+    # _batch picks the latest digest per id — ghost rows of re-ingested
+    # documents carry stale digests and must lose.
+    ix_digest_rows = None
+    if threshold >= 1.0 and index is not None and \
+            {"_dg", "_batch"}.issubset(set(index.columns)):
+        ix_digest_rows = index.select(
+            F.col(id_col).alias("corpus_id"), "_dg", "_batch"
+        )
     ix = index.select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     nb_probe = nb.select(F.col("_id").alias("new_id"), "band", "bucket")
     if max_bucket_size is not None:
@@ -1050,30 +1074,41 @@ def minhash_dedup_incremental(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id").distinct()
     )
-    nb_within = nb
-    if max_bucket_size is not None:
-        nb_within = cap_bucket_groups(nb_within, max_bucket_size)
-    within_cands = (
-        nb_within.select(F.col("_id").alias("id_a"), "band", "bucket")
-        .join(nb_within.select(F.col("_id").alias("id_b"), "band", "bucket"),
-              ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
-    # the banding aggregate appears in several plan branches — Spark's
-    # ReuseExchange collapses the identical subtrees at execution, the
-    # same way minhash_lsh_candidates' self-join shares one signature
-    # pass; a (mark, id_a, id_b) union keeps cross and within hits
-    # separable after ONE shared verification
-    all_pairs = (
-        cross.select(
+    # with collapse_exact at threshold >= 1.0 the within-batch self-join
+    # is provably dead work: the collapse left pairwise-DISTINCT shingle
+    # digests, and a threshold-1.0 verification passes only on digest
+    # equality — no within pair can ever verify. Skip building it.
+    skip_within = collapse_exact and threshold >= 1.0
+    if skip_within:
+        all_pairs = cross.select(
             F.lit(True).alias("_cross"),
             F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"),
         )
-        .unionByName(
-            within_cands.select(F.lit(False).alias("_cross"), "id_a", "id_b")
+    else:
+        nb_within = nb
+        if max_bucket_size is not None:
+            nb_within = cap_bucket_groups(nb_within, max_bucket_size)
+        within_cands = (
+            nb_within.select(F.col("_id").alias("id_a"), "band", "bucket")
+            .join(nb_within.select(F.col("_id").alias("id_b"), "band", "bucket"),
+                  ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
         )
-    )
+        # the banding aggregate appears in several plan branches — Spark's
+        # ReuseExchange collapses the identical subtrees at execution, the
+        # same way minhash_lsh_candidates' self-join shares one signature
+        # pass; a (mark, id_a, id_b) union keeps cross and within hits
+        # separable after ONE shared verification
+        all_pairs = (
+            cross.select(
+                F.lit(True).alias("_cross"),
+                F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"),
+            )
+            .unionByName(
+                within_cands.select(F.lit(False).alias("_cross"), "id_a", "id_b")
+            )
+        )
 
     # corpus text for candidate ids only; shingle verification runs
     # ONCE over (batch ∪ candidate corpus docs) for both pair sets.
@@ -1082,21 +1117,34 @@ def minhash_dedup_incremental(
     # rows first, same reasoning as the signature explodes
     # (probe=False: the inputs are derived frames, don't pre-execute)
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
-    cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
     if threshold >= 1.0:
-        # the batch side was already digested above (checkpointed) —
-        # only the candidate corpus docs need hashing here, so the
-        # batch text is never re-touched for verification
-        # (checkpoint=False: single-consumer derived frame)
-        cand_digests = _doc_digests(
-            cand_corpus, id_col=id_col, text_col=text_col, k=shingle_k,
-            checkpoint=False,
-        )
+        if ix_digest_rows is not None:
+            # digests straight off the index rows: the corpus table is
+            # never touched. One narrow partial-agg over the candidate
+            # ids' index rows; max_by(_batch) beats ghost rows.
+            cand_digests = (
+                ix_digest_rows
+                .withColumnRenamed("corpus_id", id_col)
+                .join(cand_ids, on=id_col, how="leftsemi")
+                .groupBy(id_col)
+                .agg(F.max_by("_dg", "_batch").alias("_dg"))
+            )
+        else:
+            # the batch side was already digested above (checkpointed) —
+            # only the candidate corpus docs need hashing here, so the
+            # batch text is never re-touched for verification
+            # (checkpoint=False: single-consumer derived frame)
+            cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
+            cand_digests = _doc_digests(
+                cand_corpus, id_col=id_col, text_col=text_col, k=shingle_k,
+                checkpoint=False,
+            )
         hit = verify_exact_duplicates(
             new_df, all_pairs, id_col=id_col, text_col=text_col, k=shingle_k,
             digests=batch_digests.unionByName(cand_digests),
         )
     else:
+        cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
         both = spread_for_explode(
             new_df.select(id_col, text_col).unionByName(
                 cand_corpus.select(id_col, text_col)
@@ -1116,6 +1164,11 @@ def minhash_dedup_incremental(
         .select(F.col("id_a").alias(id_col)).distinct()
     )
     survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
+
+    if skip_within:
+        # no within pairs were generated (provably none can verify) —
+        # the corpus-survivor set IS the answer
+        return survivors
 
     # within-batch star contraction among corpus-survivors only (the
     # survivor subset's LSH pairs ARE the full-batch pairs filtered to

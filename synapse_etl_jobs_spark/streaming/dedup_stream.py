@@ -72,6 +72,7 @@ def create_dedup_tables(
     id_col: str = "doc_id",
     num_buckets: int = 16,
     write_mode: str = "mor",
+    store_digests: bool = True,
 ) -> tuple[LakeTable, LakeTable]:
     """Create the (corpus, LSH-index) lake-table pair for
     ``dedup_stream_into_table``. The corpus table is keyed by the
@@ -80,7 +81,18 @@ def create_dedup_tables(
     and storage-bucketed on the LSH ``bucket`` hash so a probe touches
     only the storage buckets its signatures map to (see the module
     docstring for why bucketing on a mutable payload column would be
-    unsound, and why ghost rows of re-ingested documents are harmless)."""
+    unsound, and why ghost rows of re-ingested documents are harmless).
+
+    ``store_digests`` (default) adds two payload columns to the index —
+    ``_dg`` (the document's shingle-set sha digest) and ``_batch`` (the
+    batch that wrote the row) — so threshold-1.0 verification can run
+    ENTIRELY off index rows: the probe job stops scanning the corpus
+    table for candidate text (at a 100 TB corpus, that full-table LWW
+    read per micro-batch is the dominant probe cost). ``_batch`` makes
+    the per-id digest choice ghost-safe: a re-ingested document leaves
+    its old (band, bucket) rows behind, and ``max_by(_dg, _batch)``
+    always verifies against the LATEST ingested text — the same answer
+    the corpus-text path computes."""
     docs = LakeTable.create(
         spark, docs_path, doc_schema, [id_col],
         num_buckets=num_buckets, write_mode=write_mode,
@@ -91,6 +103,8 @@ def create_dedup_tables(
         .add("band", "integer")
         .add("bucket", "long")
     )
+    if store_digests:
+        ix_schema = ix_schema.add("_dg", "string").add("_batch", "long")
     index = LakeTable.create(
         spark, index_path, ix_schema, [id_col, "band", "bucket"],
         bucket_cols=["bucket"],
@@ -159,6 +173,14 @@ def dedup_stream_into_table(
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
 
+    # index tables created with store_digests carry (_dg, _batch): the
+    # probe verifies threshold-1.0 pairs off index rows alone (no
+    # corpus-table scan per micro-batch) and every index merge must
+    # keep writing both columns
+    index_has_digests = {"_dg", "_batch"}.issubset(
+        {f.name for f in index_table.manifest.current_schema().fields}
+    )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # no-op only when BOTH commits landed: keying on the docs
         # marker alone would leave a rebuilt or lagging index empty
@@ -193,7 +215,12 @@ def dedup_stream_into_table(
                     ix = index_table.scan_keys([(v,) for v in vals])
             if ix is None:
                 ix = index_table.read()
-            return ix.select(id_col, "band", "bucket").join(
+            cols = [id_col, "band", "bucket"]
+            if index_has_digests and threshold >= 1.0:
+                # hand the digest columns to the verifier — candidate
+                # text never leaves the index (see create_dedup_tables)
+                cols += ["_dg", "_batch"]
+            return ix.select(*cols).join(
                 batch_df.select(id_col), id_col, "left_anti"
             )
 
@@ -245,9 +272,31 @@ def dedup_stream_into_table(
                 )
                 .withColumnRenamed("_id", id_col)
             )
+            ix_cols = [id_col, "band", "bucket"]
+            if index_has_digests:
+                # attach the survivors' digests (one row per raw-batch
+                # doc, already checkpointed when collapse_exact or
+                # threshold >= 1.0 computed them; only the
+                # no-digest configuration pays a fresh pass here) and
+                # the writing batch — max_by(_dg, _batch) at probe time
+                # then always verifies against the latest text
+                from synapse_etl_jobs_spark.operators.dedup_text import (
+                    _doc_digests,
+                )
+
+                digests = captured.get("dg")
+                if digests is None:
+                    digests = _doc_digests(
+                        kept, id_col=id_col, text_col=text_col,
+                        k=shingle_k, checkpoint=False,
+                    )
+                new_index = new_index.join(
+                    digests.select(id_col, "_dg"), id_col
+                ).withColumn("_batch", F.lit(batch_id).cast("long"))
+                ix_cols += ["_dg", "_batch"]
             index_table.merge(
                 new_index.select(
-                    id_col, "band", "bucket",
+                    *ix_cols,
                     F.lit("UPSERT").alias("op"),
                     F.lit(batch_id).cast("long").alias("seq"),
                 ),

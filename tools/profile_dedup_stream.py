@@ -69,6 +69,27 @@ def main():
     LakeTable.is_batch_applied = timed("is_batch_applied", LakeTable.is_batch_applied)
     LakeTable.read = timed("table_read_plan", LakeTable.read)
 
+    # finer grain: every eager localCheckpoint inside the dedup
+    # construction, attributed to its CALLER (function:line)
+    import inspect
+
+    # Spark 4: the runtime class is the classic subclass, which
+    # overrides localCheckpoint — patch IT, not the abstract base
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    inner_ckpt = _DF.localCheckpoint
+
+    def ckpt_timed(self, *a, **k):
+        fr = inspect.stack()[1]
+        key = f"ckpt {os.path.basename(fr.filename)}:{fr.lineno} ({fr.function})"
+        t0 = time.monotonic()
+        out = inner_ckpt(self, *a, **k)
+        PHASES[key] = PHASES.get(key, 0.0) + time.monotonic() - t0
+        COUNTS[key] = COUNTS.get(key, 0) + 1
+        return out
+
+    _DF.localCheckpoint = ckpt_timed
+
     inner_dedup = dedup_text.minhash_dedup_incremental
 
     def dedup_and_force(*a, **k):
@@ -122,8 +143,12 @@ def main():
     PHASES["stream_total"] = stream_wall
 
     n = docs.read().count()
+    # ckpt-* and scan_keys run INSIDE dedup_plan — summing them too
+    # would double-count and push the overhead negative
     attributed = sum(v for k, v in PHASES.items()
-                     if k not in ("stream_total", "spark_startup", "source_setup"))
+                     if k not in ("stream_total", "spark_startup",
+                                  "source_setup", "scan_keys")
+                     and not k.startswith("ckpt "))
     report = {
         "sf_dir": sf_dir,
         "corpus_rows": n,

@@ -70,11 +70,16 @@ def main() -> None:
 
     from pyspark.sql.types import StructType
 
+    # digest columns included (create_dedup_tables(store_digests=True)
+    # parity): threshold-1.0 verification then runs off index rows
+    # alone, never scanning the corpus table per micro-batch
     ix_schema = (
         StructType()
         .add(args.id_col, sample.schema[args.id_col].dataType)
         .add("band", "integer")
         .add("bucket", "long")
+        .add("_dg", "string")
+        .add("_batch", "long")
     )
     docs = load_or_create(
         args.docs_table,
