@@ -930,6 +930,7 @@ def minhash_dedup_incremental(
     max_bucket_size: int | None = None,
     broadcast_probe: bool = True,
     index_loader=None,
+    corpus_loader=None,
     observe_banding=None,
     observe_digests=None,
 ) -> DataFrame:
@@ -975,6 +976,18 @@ def minhash_dedup_incremental(
       ``streaming/dedup_stream.py``), never scanning the whole index.
       Returning a superset of the matching rows is always sound: the
       (band, bucket) equi-join discards the rest.
+    - ``corpus_loader``: callable receiving the DISTINCT candidate
+      corpus-id frame (one ``id_col`` column) and returning the corpus
+      rows to verify against — the storage-pruning hook for the verify
+      modes that must read candidate TEXT (``threshold < 1.0``, or a
+      digest-less index at 1.0): a lake corpus table bucketed on the id
+      can serve only the storage buckets holding candidates instead of
+      a full-table LWW read per call (see ``streaming/dedup_stream.py``).
+      A superset is always sound — the candidate-id semijoin discards
+      the rest. Never invoked on the index-digest path (no corpus read
+      exists there to prune). When set for a text-verify mode, the
+      candidate pairs are localCheckpointed so a loader that collects
+      the ids on the driver doesn't re-run the probe join.
     - ``observe_banding``: callable receiving the batch's checkpointed
       banding rows ``(_id, band, bucket)`` — post-collapse, PRE-cap, the
       exact frame entering the probe/self joins. The observability hook:
@@ -1074,6 +1087,14 @@ def minhash_dedup_incremental(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id").distinct()
     )
+    # the digest path never touches corpus text, so the loader is only
+    # live when verification must read candidate documents
+    needs_corpus_text = threshold < 1.0 or ix_digest_rows is None
+    if corpus_loader is not None and needs_corpus_text:
+        # the loader typically collects the candidate ids on the driver
+        # (storage-bucket pruning) — cut lineage so that collect job
+        # doesn't re-run the probe join the verify below runs again
+        cross = cross.localCheckpoint()
     # with collapse_exact at threshold >= 1.0 the within-batch self-join
     # is provably dead work: the collapse left pairwise-DISTINCT shingle
     # digests, and a threshold-1.0 verification passes only on digest
@@ -1117,6 +1138,9 @@ def minhash_dedup_incremental(
     # rows first, same reasoning as the signature explodes
     # (probe=False: the inputs are derived frames, don't pre-execute)
     cand_ids = cross.select(F.col("corpus_id").alias(id_col)).distinct()
+    corpus_base = corpus_df
+    if corpus_loader is not None and needs_corpus_text:
+        corpus_base = corpus_loader(cand_ids)
     if threshold >= 1.0:
         if ix_digest_rows is not None:
             # digests straight off the index rows: the corpus table is
@@ -1134,7 +1158,7 @@ def minhash_dedup_incremental(
             # only the candidate corpus docs need hashing here, so the
             # batch text is never re-touched for verification
             # (checkpoint=False: single-consumer derived frame)
-            cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
+            cand_corpus = corpus_base.join(cand_ids, on=id_col, how="leftsemi")
             cand_digests = _doc_digests(
                 cand_corpus, id_col=id_col, text_col=text_col, k=shingle_k,
                 checkpoint=False,
@@ -1144,7 +1168,7 @@ def minhash_dedup_incremental(
             digests=batch_digests.unionByName(cand_digests),
         )
     else:
-        cand_corpus = corpus_df.join(cand_ids, on=id_col, how="leftsemi")
+        cand_corpus = corpus_base.join(cand_ids, on=id_col, how="leftsemi")
         both = spread_for_explode(
             new_df.select(id_col, text_col).unionByName(
                 cand_corpus.select(id_col, text_col)

@@ -26,7 +26,7 @@ Crash-window analysis (the reason for the commit ORDER below):
 
 Scale shape: the per-batch cost is the batch's signatures + one
 equi-join against the index + verification against candidate corpus
-documents only. Three guards keep the probe sub-linear in the corpus:
+documents only. Four guards keep the probe sub-linear in the corpus:
 
 - the batch's bucket rows are BROADCAST (``broadcast_probe``), so the
   O(corpus × bands) index side never shuffles — the probe is a
@@ -38,7 +38,13 @@ documents only. Three guards keep the probe sub-linear in the corpus:
   scan, not O(index);
 - degenerate (band, bucket) groups — boilerplate families — can be
   capped (``max_bucket_size``) and exact-duplicate batch docs
-  pre-collapsed (``collapse_exact``), bounding candidate fan-out.
+  pre-collapsed (``collapse_exact``), bounding candidate fan-out;
+- when verification must read candidate TEXT (``threshold < 1.0``, or
+  an index built without digest columns), the corpus read prunes to
+  the storage buckets holding the candidate ids (``prune_corpus_scan``
+  — the corpus table is bucketed on the id), so the per-batch text
+  read is O(candidate buckets), never a full-corpus LWW scan. At
+  threshold 1.0 with ``store_digests`` the corpus is not read at all.
 
 Keying the index by the FULL (id, band, bucket) triple makes rows
 immutable facts: a document re-ingested with different text ADDS its
@@ -132,6 +138,7 @@ def dedup_stream_into_table(
     max_bucket_size: int | None = None,
     broadcast_probe: bool = True,
     prune_index_scan: bool = True,
+    prune_corpus_scan: bool = True,
     prune_max_values: int = 200_000,
     metrics_path: str | None = None,
 ) -> Any:
@@ -157,6 +164,16 @@ def dedup_stream_into_table(
     to the driver and mapped to storage buckets offline; above
     ``prune_max_values`` distinct hashes every storage bucket is hit
     anyway, so the probe falls back to the full index view.
+    ``prune_corpus_scan`` (default on) applies the same trick to the
+    CORPUS table in the verify modes that must read candidate text
+    (``threshold < 1.0``, or an index without digest columns): the
+    candidate corpus ids — already a tiny distinct frame — are pulled to
+    the driver and the corpus read prunes to the storage buckets holding
+    them (the corpus table is bucketed on the id), instead of a
+    full-table LWW read per micro-batch; above ``prune_max_values``
+    candidates it falls back to the full view. The index-digest path
+    (``store_digests`` at threshold 1.0) never reads the corpus at all,
+    so the flag is inert there.
 
     ``metrics_path`` (opt-in): append one JSON line per applied batch —
     batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
@@ -224,6 +241,23 @@ def dedup_stream_into_table(
                 batch_df.select(id_col), id_col, "left_anti"
             )
 
+        # text-verify modes only (threshold < 1.0, or a digest-less
+        # index): prune the candidate-text read to the storage buckets
+        # holding candidate ids — deterministic given batch content and
+        # index state, hence replay-invariant; a superset read is sound
+        # (the verifier semijoins on the candidate ids either way). The
+        # operator never invokes this on the index-digest path.
+        def load_corpus(cand_ids: DataFrame) -> DataFrame:
+            if prune_corpus_scan and \
+                    docs_table.manifest.bucket_cols == [id_col]:
+                vals = [
+                    r[id_col]
+                    for r in cand_ids.limit(prune_max_values + 1).collect()
+                ]
+                if vals and len(vals) <= prune_max_values:
+                    return docs_table.scan_keys([(v,) for v in vals])
+            return corpus
+
         # NOT pre_reduced: a batch may legally carry the same id twice
         # (at-least-once upstream producers); merge's LWW reduction
         # resolves equal-seq ties deterministically by payload order
@@ -234,6 +268,7 @@ def dedup_stream_into_table(
         captured: dict[str, DataFrame] = {}
         kept = minhash_dedup_incremental(
             batch_df, corpus, index_loader=load_index,
+            corpus_loader=load_corpus,
             id_col=id_col, text_col=text_col, threshold=threshold,
             collapse_exact=collapse_exact, max_bucket_size=max_bucket_size,
             broadcast_probe=broadcast_probe,
