@@ -658,23 +658,48 @@ def simhash_near_pairs(
     seed: int = 42,
     bits: int = 64,
     token_hash=None,
+    group_blocks: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of ``bits``-bit
     SimHash.
 
-    Pigeonhole: split the bits into ``blocks`` (> max_hamming) blocks;
-    any pair within distance k agrees exactly on ≥1 block → equi-join per
-    block, then exact Hamming verify. Avoids the O(n²) compare — and
-    because the verify is exact, the output is EXACTLY the set of pairs
-    within the distance bound (an ANSI-SQL oracle can replicate it with
-    a brute-force bit_count(xor) compare when ``token_hash`` is the
-    portable md5 variant).
+    Pigeonhole over block COMBINATIONS (the multi-index scheme of
+    HmSearch / Manku et al.'s simhash dedup): split the bits into
+    ``blocks`` (> max_hamming) blocks; a pair within distance k differs
+    in at most k blocks, so it AGREES on at least ``blocks - k`` — hence
+    on at least one ``g``-subset of blocks for any g ≤ blocks - k. Each
+    signature emits one packed key per g-subset (C(blocks, g) rows) and
+    candidates come from ONE equi-join on (combo, key), then exact
+    Hamming verify. Because the verify is exact, the output is EXACTLY
+    the set of pairs within the distance bound (an ANSI-SQL oracle can
+    replicate it with a brute-force bit_count(xor) compare when
+    ``token_hash`` is the portable md5 variant).
+
+    Scale shape (what g buys): with single blocks (g=1) the key space
+    per block is only 2^(bits/blocks) values — 64 for the 48-bit/8-block
+    configuration — so candidates grow as n²/2^width per block and the
+    join degenerates quadratically long before the output does (measured
+    312 s at a 50k-doc corpus, 53× its 5k cost). A g-block key has
+    2^(g·width) values: g=3 over 6-bit blocks gives a 262k-value key
+    space, collapsing the random-collision term by ~4000× for 7× more
+    (tiny) exploded rows. ``group_blocks=None`` auto-picks the largest
+    g ≤ blocks - max_hamming with C(blocks, g) ≤ 64 combos.
+
+    Identical signatures are COLLAPSED before the join (the
+    ``collapse_exact`` analog): every member of an equal-signature class
+    is a Hamming-0 pair of every other, so the class enters the
+    candidate join as one representative and its pairs are emitted
+    directly — a k-clone boilerplate family costs O(k) join rows, never
+    O(k²) (its C(k,2) OUTPUT pairs are inherent to the result set).
 
     The pigeonhole guarantee REQUIRES ``blocks > max_hamming`` (k
     differing bits can otherwise hit every block) and ``bits % blocks ==
     0`` (else trailing bits belong to no block) — both are validated
     rather than silently losing recall.
     """
+    from itertools import combinations
+    from math import comb
+
     if blocks <= max_hamming:
         raise ValueError(
             f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
@@ -682,38 +707,88 @@ def simhash_near_pairs(
         )
     if bits % blocks != 0:
         raise ValueError(f"bits ({bits}) must be divisible by blocks ({blocks})")
+    max_g = blocks - max_hamming
+    if group_blocks is None:
+        g = 1
+        for cand in range(1, max_g + 1):
+            if comb(blocks, cand) <= 64:
+                g = cand
+    else:
+        if not 1 <= group_blocks <= max_g:
+            raise ValueError(
+                f"group_blocks ({group_blocks}) must be in 1..{max_g} "
+                f"(blocks - max_hamming) for the pigeonhole guarantee"
+            )
+        g = group_blocks
     width = bits // blocks
+    # (id, signature) — checkpointed: it feeds the combo explode, the
+    # equal-signature self-join and both expansion joins below, and the
+    # signature aggregation subtree must not re-inline into each
     sh = simhash_signatures(
         df, id_col=id_col, text_col=text_col, seed=seed,
         bits=bits, token_hash=token_hash,
     ).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
-    )
-    blocked = sh.select(
-        "_id", "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright(F.col("_sh"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("_bk"),
-    ).select("_id", "_sh", "_bk.block", "_bk.key")
-    left = blocked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), "block", "key")
-    right = blocked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), "block", "key")
-    return (
-        left.join(right, ["block", "key"])
+    ).localCheckpoint()
+
+    # ---- equal-signature classes: emit their pairs directly ----------
+    within = (
+        sh.select(F.col("_id").alias("id_a"), "_sh")
+        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("_sha"), F.col("_shb")).alias("hamming"))
+        .select("id_a", "id_b",
+                F.lit(0).cast("integer").alias("hamming"))
+    )
+
+    # ---- candidate join over DISTINCT signatures only -----------------
+    sigs = sh.select("_sh").distinct()
+
+    def block_val(b: int):
+        return (
+            F.shiftright(F.col("_sh"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+        )
+
+    combo_keys = []
+    for ci, combo in enumerate(combinations(range(blocks), g)):
+        key = F.lit(0).cast("long")
+        for i, b in enumerate(combo):
+            key = key + F.shiftleft(block_val(b), i * width)
+        combo_keys.append(
+            F.struct(F.lit(ci).alias("combo"), key.alias("key"))
+        )
+    blocked = sigs.select(
+        "_sh", F.explode(F.array(*combo_keys)).alias("_ck")
+    ).select("_sh", "_ck.combo", "_ck.key")
+    sig_pairs = (
+        blocked.select(F.col("_sh").alias("_sha"), "combo", "key")
+        .join(blocked.select(F.col("_sh").alias("_shb"), "combo", "key"),
+              ["combo", "key"])
+        .filter(F.col("_sha") < F.col("_shb"))
+        .select("_sha", "_shb",
+                hamming64(F.col("_sha"), F.col("_shb")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+    # ---- expand signature pairs to document pairs ----------------------
+    # every member pair across two near signatures is a near pair (a
+    # document's Hamming distance IS its signature's); id order is
+    # restored with least/greatest since signature order ≠ id order
+    cross = (
+        sig_pairs
+        .join(sh.select(F.col("_id").alias("_ida"),
+                        F.col("_sh").alias("_sha")), "_sha")
+        .join(sh.select(F.col("_id").alias("_idb"),
+                        F.col("_sh").alias("_shb")), "_shb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(
