@@ -31,6 +31,16 @@ Presto → Spark translation notes (all rows, all jobs):
   (PERMISSIVE) instead of just the unparseable field — strictly closer
   to the reference's ``json_parse``-based rows, which fail the record
   in Presto too.
+- **Every leaf in the parse schema is a string** (including nested
+  struct fields and array elements); target types are produced by
+  explicit ``CAST`` in the SELECT. This mirrors the reference exactly —
+  ``json_extract_scalar`` always returns varchar and the Presto SQL
+  casts it — and preserves its type-drift coercion: a payload carrying
+  ``"isIndividual": "true"`` (a JSON *string*) casts to ``true``,
+  where a boolean in the parse schema would make Jackson null the
+  drifted field. Struct/array casts are element-wise and
+  null-preserving (``CAST(NULL AS struct<...>)`` stays NULL), so the
+  shape of missing sub-objects is unchanged.
 - ISO-8601 timestamps are parsed as *strings* in the parse schema, then
   ``cast(to_unixtime(from_iso8601_timestamp(s)) * 1000 as bigint)``
                                            → ``unix_millis(to_timestamp(s))``.
@@ -83,7 +93,7 @@ _CHANGETYPE_FROM = """CASE WHEN change_timestamp -
 class AthenaBackfillSpec:
     name: str                  # destination table name (transformed_<x>)
     object_type: str
-    parse_ddl: str             # one-shot from_json schema (ISO dates as string)
+    parse_ddl: str             # one-shot from_json schema (ALL leaves string)
     snapshot_ddl: str          # DDL of the envelope's snapshot struct
     snapshot_sql: str          # struct build over j.<field> accesses
     userid_sql: str
@@ -96,7 +106,7 @@ _USERGROUP = AthenaBackfillSpec(
     name="transformed_usergroup",
     object_type="PRINCIPAL",
     parse_ddl=(
-        "id string, isIndividual boolean, etag string, "
+        "id string, isIndividual string, etag string, "
         "creationDate string, uri string"
     ),
     snapshot_ddl=(
@@ -105,7 +115,7 @@ _USERGROUP = AthenaBackfillSpec(
     ),
     snapshot_sql="""named_struct(
         'id', j.id,
-        'isIndividual', j.isIndividual,
+        'isIndividual', CAST(j.isIndividual AS BOOLEAN),
         'etag', j.etag,
         'creationDate', unix_millis(to_timestamp(j.creationDate)),
         'uri', j.uri
@@ -121,7 +131,7 @@ _TEAM = AthenaBackfillSpec(
     object_type="PRINCIPAL",
     parse_ddl=(
         "id string, name string, description string, icon string, "
-        "canPublicJoin boolean, canRequestMembership boolean, etag string, "
+        "canPublicJoin string, canRequestMembership string, etag string, "
         "createdOn string, modifiedOn string, createdBy string, "
         "modifiedBy string"
     ),
@@ -135,8 +145,8 @@ _TEAM = AthenaBackfillSpec(
         'name', j.name,
         'description', j.description,
         'icon', j.icon,
-        'canPublicJoin', j.canPublicJoin,
-        'canRequestMembership', j.canRequestMembership,
+        'canPublicJoin', CAST(j.canPublicJoin AS BOOLEAN),
+        'canRequestMembership', CAST(j.canRequestMembership AS BOOLEAN),
         'etag', j.etag,
         'createdOn', unix_millis(to_timestamp(j.createdOn)),
         'modifiedOn', unix_millis(to_timestamp(j.modifiedOn)),
@@ -155,8 +165,8 @@ _TEAM_MEMBER = AthenaBackfillSpec(
     parse_ddl=(
         "teamId string, "
         "member struct<ownerId:string,firstName:string,lastName:string,"
-        "userName:string,email:string,displayName:string,isIndividual:boolean>, "
-        "isAdmin boolean"
+        "userName:string,email:string,displayName:string,isIndividual:string>, "
+        "isAdmin string"
     ),
     snapshot_ddl=(
         "struct<teamId:string,"
@@ -166,8 +176,11 @@ _TEAM_MEMBER = AthenaBackfillSpec(
     ),
     snapshot_sql="""named_struct(
         'teamId', j.teamId,
-        'member', j.member,
-        'isAdmin', j.isAdmin
+        'member', CAST(j.member AS
+            struct<ownerId:string,firstName:string,lastName:string,
+                   userName:string,email:string,displayName:string,
+                   isIndividual:boolean>),
+        'isAdmin', CAST(j.isAdmin AS BOOLEAN)
     )""",
     userid_sql="CAST(j.member.ownerId AS BIGINT)",
     # ":66-67 — we can not find the type so using static type UPDATE"
@@ -186,9 +199,9 @@ _USERPROFILE = AthenaBackfillSpec(
         "summary string, position string, location string, industry string, "
         "company string, profilePicureFileHandleId string, url string, "
         "teamName string, "
-        "notificationSettings struct<sendEmailNotifications:boolean,"
-        "markEmailedMessagesAsRead:boolean>, "
-        "preferences array<struct<name:string,value:boolean>>, "
+        "notificationSettings struct<sendEmailNotifications:string,"
+        "markEmailedMessagesAsRead:string>, "
+        "preferences array<struct<name:string,value:string>>, "
         "createdOn string"
     ),
     snapshot_ddl=(
@@ -220,8 +233,11 @@ _USERPROFILE = AthenaBackfillSpec(
         'profilePicureFileHandleId', j.profilePicureFileHandleId,
         'url', j.url,
         'teamName', j.teamName,
-        'notificationSettings', j.notificationSettings,
-        'preferences', j.preferences,
+        'notificationSettings', CAST(j.notificationSettings AS
+            struct<sendEmailNotifications:boolean,
+                   markEmailedMessagesAsRead:boolean>),
+        'preferences', CAST(j.preferences AS
+            array<struct<name:string,value:boolean>>),
         'createdOn', unix_millis(to_timestamp(j.createdOn))
     )""",
     userid_sql="CAST(j.ownerId AS BIGINT)",

@@ -200,11 +200,18 @@ class HadoopFS:
         fc.rename(self._path(tmp), self._path(path), opts)
 
     def write_text_if_absent(self, path: str, text: str) -> bool:
-        """Atomic create-no-overwrite via Hadoop's NON-clobbering
-        ``FileSystem.rename`` (atomic on HDFS, refuses an existing
-        destination): the contents are complete before the target name
-        appears, and two racers cannot both succeed. Object stores
-        override this with a catalog CAS (rename is a copy there)."""
+        """Atomic create-no-overwrite. On HDFS this is the NON-clobbering
+        ``FileSystem.rename`` (atomic at the namenode, refuses an
+        existing destination): the contents are complete before the
+        target name appears, and two racers cannot both succeed. On the
+        ``file:`` scheme that contract does NOT hold — RawLocalFileSystem
+        implements rename with ``java.io.File.renameTo`` → POSIX
+        ``rename(2)``, which silently REPLACES an existing destination,
+        so both racers would "succeed" — there we arbitrate with a hard
+        link instead (``java.nio.file.Files.createLink``, kernel-atomic
+        O_EXCL semantics, same primitive as the local PosixFS layer).
+        Object stores override this with a catalog CAS (rename is a
+        copy there)."""
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         fs = self._fs(path)
         out = fs.create(self._path(tmp), True)
@@ -213,6 +220,19 @@ class HadoopFS:
             out.hflush()
         finally:
             out.close()
+        if fs.getScheme() == "file":
+            File = self._jvm.java.io.File
+            dst = File(self._path(path).toUri().getPath()).toPath()
+            src = File(self._path(tmp).toUri().getPath()).toPath()
+            try:
+                self._jvm.java.nio.file.Files.createLink(dst, src)
+            except Exception as e:
+                fs.delete(self._path(tmp), False)
+                if "FileAlreadyExistsException" in str(e):
+                    return False  # lost the race: another writer created it
+                raise
+            fs.delete(self._path(tmp), False)
+            return True
         if fs.rename(self._path(tmp), self._path(path)):
             return True
         fs.delete(self._path(tmp), False)

@@ -579,7 +579,13 @@ class LakeTable:
             if not wrote_side:
                 fs.mkdirs(bdir, exist_ok=True)
                 wrote_side = True
-            ref = f"b{int(b):06d}-v{m.table_version:012d}.json"
+            # the name carries a commit-unique token: two writers racing
+            # to the same version number stage DISJOINT side files, so a
+            # loser's staging can never clobber the winner's committed
+            # file lists (the root references side files by name; the
+            # loser's orphans are unreferenced and vacuumed)
+            token = uuid.uuid4().hex[:12]
+            ref = f"b{int(b):06d}-v{m.table_version:012d}-{token}.json"
             fs.write_text_atomic(os.path.join(bdir, ref), json.dumps(entries))
             refs[b] = ref
         m.bucket_refs = refs

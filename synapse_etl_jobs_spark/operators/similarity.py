@@ -465,6 +465,10 @@ def _exact_candidates_blocked(
     import numpy as np
     import pandas as pd
 
+    # one materialization: the count (which sizes the block grid) and the
+    # two block-tag joins below all read the same slim (id, vec) frame —
+    # without the cut, a derived input would be recomputed three times
+    c = c.localCheckpoint(eager=True)
     n = c.count()
     nblocks = max(1, math.ceil(n / block_rows))
     spark = c.sparkSession

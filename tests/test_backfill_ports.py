@@ -147,3 +147,63 @@ def test_access_backfill_payload_struct_and_partitions(spark, tmp_path):
     # partition layout: int year, '%02d' month/day (reference :23-25);
     # the recursive read-back folds partition dirs away, so check disk
     assert (tmp_path / "j" / "year=2023" / "month=11" / "day=14").is_dir()
+
+
+def test_type_drifted_booleans_coerce_like_presto(spark, tmp_path):
+    """Schema drift: a boolean arriving as a JSON *string* ("true") must
+    coerce, not null out. Presto's json_extract_scalar always returns
+    varchar and the reference SQL CASTs it; the parse schema therefore
+    keeps every leaf a string and the SELECT casts explicitly — a typed
+    from_json field would make Jackson null the drifted value."""
+    j = '{"id":"1","isIndividual":"true","creationDate":"2023-11-14T22:13:20Z"}'
+    _src(spark, j, change_ts=1_700_000_000_000).createOrReplaceTempView("drift_ug")
+    out = run_athena_backfill(spark, "usergroup", "drift_ug", str(tmp_path / "t"))
+    row = out.collect()[0]
+    assert row["snapshot"]["isIndividual"] is True
+    assert row["snapshot"]["creationDate"] == 1_700_000_000_000
+
+
+def test_type_drifted_nested_booleans_and_null_subtrees(spark, tmp_path):
+    """Drifted booleans inside nested structs/arrays coerce through the
+    element-wise CAST, and an absent/null sub-object stays NULL (the
+    cast is null-preserving — no phantom all-null struct appears)."""
+    drifted = (
+        '{"teamId":"5","isAdmin":"false",'
+        '"member":{"ownerId":"7","userName":"u","isIndividual":"true"}}'
+    )
+    _src(spark, drifted).createOrReplaceTempView("drift_tm")
+    out = run_athena_backfill(spark, "team_member", "drift_tm",
+                              str(tmp_path / "t1"))
+    row = out.collect()[0]
+    assert row["snapshot"]["isAdmin"] is False
+    assert row["snapshot"]["member"]["isIndividual"] is True
+    assert row["snapshot"]["member"]["ownerId"] == "7"
+    assert row["userid"] == 7
+
+    absent = '{"teamId":"6","isAdmin":true}'
+    _src(spark, absent).createOrReplaceTempView("drift_tm2")
+    out2 = run_athena_backfill(spark, "team_member", "drift_tm2",
+                               str(tmp_path / "t2"))
+    row2 = out2.collect()[0]
+    assert row2["snapshot"]["member"] is None
+    assert row2["snapshot"]["isAdmin"] is True
+
+
+def test_type_drifted_array_struct_booleans(spark, tmp_path):
+    """userprofile preferences: array<struct<..,value:boolean>> built by
+    casting the string-leaf parse — drifted and well-typed elements both
+    coerce; notificationSettings struct likewise."""
+    j = (
+        '{"ownerId":"7","createdOn":"2023-11-14T22:13:20Z",'
+        '"notificationSettings":{"sendEmailNotifications":"true",'
+        '"markEmailedMessagesAsRead":false},'
+        '"preferences":[{"name":"a","value":"true"},{"name":"b","value":false}]}'
+    )
+    _src(spark, j, change_ts=1_700_000_000_000).createOrReplaceTempView("drift_up")
+    out = run_athena_backfill(spark, "userprofile", "drift_up", str(tmp_path / "t"))
+    row = out.collect()[0]
+    ns = row["snapshot"]["notificationSettings"]
+    assert ns["sendEmailNotifications"] is True
+    assert ns["markEmailedMessagesAsRead"] is False
+    prefs = row["snapshot"]["preferences"]
+    assert [(p["name"], p["value"]) for p in prefs] == [("a", True), ("b", False)]

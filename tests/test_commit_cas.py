@@ -214,3 +214,38 @@ def test_uri_table_concurrent_commit_detected(spark, tmp_path):
     h3.merge(ev(("UPSERT", 3, 3, "c")), stream_id="s", batch_id=2)
     assert {(r["k"], r["v"]) for r in h3.read().collect()} \
         == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_losing_committer_cannot_clobber_winner_side_files(tmp_path):
+    """Side files are staged BEFORE the version-file arbiter decides, so
+    a losing committer's staging must never touch the winner's committed
+    bucket file lists. Side-file names carry a commit-unique token:
+    replay the round-4 race window (both writers past the fast-fail
+    check, same version, same touched bucket) and assert the committed
+    manifest still resolves to the WINNER's entries."""
+    table_path = str(tmp_path / "t")
+    fs = LocalFS()
+    fs.mkdirs(LakeTable._manifest_dir(table_path), exist_ok=False)
+    LakeTable._commit_manifest(table_path, _mk_manifest(0, None, "seed"), fs)
+
+    class _NoSwapFS(LocalFS):
+        def write_text_atomic(self, path, text):
+            if os.path.basename(path) == "CURRENT":
+                return
+            super().write_text_atomic(path, text)
+
+    first = _mk_manifest(1, 0, "first")
+    first.buckets = {"0": [{"path": "data/first.parquet", "rows": 1}]}
+    LakeTable._commit_manifest(table_path, first, _NoSwapFS())
+
+    # the loser stages the SAME bucket of the SAME version, then loses
+    # the arbiter (parent=None bypasses the now-accurate fast-fail)
+    second = _mk_manifest(1, None, "second")
+    second.buckets = {"0": [{"path": "data/EVIL.parquet", "rows": 9}]}
+    with pytest.raises(ConcurrentWriteError):
+        LakeTable._commit_manifest(table_path, second, fs)
+
+    committed = LakeTable._read_manifest(table_path, 1, fs)
+    assert committed.props["winner"] == "first"
+    assert [e["path"] for e in committed.buckets["0"]] \
+        == ["data/first.parquet"]
