@@ -238,15 +238,31 @@ def main() -> None:
         SparkContext._gateway = None
         SparkContext._jvm = None
 
-    cdc = run_cdc_replay_subprocess(N_EVENTS, N_BATCHES, mode="mor")
+    # Each replay runs REPS fresh-process repetitions and the headline
+    # takes the MINIMUM wall. Hypervisor steal on this host can only
+    # SLOW a run — identical fresh-JVM replays have measured 15.6s to
+    # 59s on the same input in one session (BENCH/BASELINE.md) — so
+    # min-of-N is the noise-robust estimator of the engine's rate, the
+    # same reasoning BASELINE.md applies to the scaling pairs. Every
+    # repetition is printed so the spread stays visible.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPLAY_REPS", "2")))
+
+    def best_replay(n_events: int, mode: str) -> dict:
+        runs = [
+            run_cdc_replay_subprocess(n_events, N_BATCHES, mode=mode)
+            for _ in range(reps)
+        ]
+        for i, r in enumerate(runs):
+            print(f"# cdc_replay_{mode} rep{i}: {r}", file=sys.stderr)
+        return min(runs, key=lambda r: r["wall_sec"])
+
+    cdc = best_replay(N_EVENTS, "mor")
     times["cdc_replay_mor"] = cdc["wall_sec"]
     total += cdc["wall_sec"]
-    print(f"# cdc_replay_mor: {cdc}", file=sys.stderr)
 
-    cdc_cow = run_cdc_replay_subprocess(N_EVENTS // 2, N_BATCHES, mode="cow")
+    cdc_cow = best_replay(N_EVENTS // 2, "cow")
     times["cdc_replay_cow"] = cdc_cow["wall_sec"]
     total += cdc_cow["wall_sec"]
-    print(f"# cdc_replay_cow: {cdc_cow}", file=sys.stderr)
 
     out = {
         "metric": "headline suite wall time (operator queries + full CDC replay)",

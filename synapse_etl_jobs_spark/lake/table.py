@@ -2115,6 +2115,12 @@ class LakeTable:
         for name, typ in add_columns:
             if name in new_schema.fieldNames():
                 raise ValueError(f"column {name} already exists")
+            if isinstance(typ, str):
+                # accept DDL type strings ("int", "array<string>", ...) —
+                # StructType.add parses only JSON-style names ("integer")
+                from pyspark.sql.types import _parse_datatype_string
+
+                typ = _parse_datatype_string(typ)
             new_schema.add(name, typ, True)
 
         schemas = {k: dict(v) for k, v in m.schemas.items()}

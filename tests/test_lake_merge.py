@@ -349,6 +349,18 @@ def test_lineage_empty_before_first_merge(spark, tmp_table_path):
     assert t.lineage().count() == 0
 
 
+def test_evolve_add_column_accepts_ddl_type_strings(spark, tmp_table_path):
+    """add_columns type strings are DDL ("int", "array<string>"), not
+    StructType.add's JSON-only names ("integer") — a user writing the
+    natural DDL name must not crash (found by a verify drive)."""
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    t.evolve_schema(add_columns=[("stars", "int"), ("tags", "array<string>")])
+    fields = {f.name: f.dataType.simpleString()
+              for f in t.manifest.current_schema().fields}
+    assert fields["stars"] == "int" and fields["tags"] == "array<string>"
+    assert {"stars", "tags"} <= set(t.read().columns)
+
+
 def test_evolve_rename_collision_rejected(spark, tmp_table_path):
     t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
     with pytest.raises(ValueError, match="collides"):
