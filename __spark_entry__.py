@@ -3261,7 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "i -> substring(text, CAST(i AS INT), 3)))"
     )
 
-    return {
+    oracles = {
         "cdc_final_state": _CDC_ORACLE,
         "cdc_final_state_salted": _CDC_ORACLE,
         "cdc_lake_merge": _CDC_ORACLE,
@@ -3922,30 +3922,6 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
                      FILTER (WHERE op IN ('UPSERT', 'PATCH_V')) AS value
             FROM live GROUP BY user_id
         """,
-        "cdc_patch_merge_ooo": """
-            WITH ev AS (
-              SELECT user_id, event_id AS seq,
-                     CASE WHEN event_id % 11 = 0 THEN 'DELETE'
-                          WHEN event_id % 3 = 0 THEN 'PATCH_ET'
-                          WHEN event_id % 3 = 1 THEN 'PATCH_V'
-                          ELSE 'UPSERT' END AS op,
-                     event_type, round(value, 2) AS value
-              FROM events
-            ), d AS (
-              SELECT user_id,
-                     max(seq) FILTER (WHERE op = 'DELETE') AS del_seq
-              FROM ev GROUP BY user_id
-            ), live AS (
-              SELECT e.* FROM ev e JOIN d USING (user_id)
-              WHERE e.op <> 'DELETE' AND e.seq > coalesce(d.del_seq, -1)
-            )
-            SELECT user_id,
-                   arg_max(event_type, seq)
-                     FILTER (WHERE op IN ('UPSERT', 'PATCH_ET')) AS event_type,
-                   arg_max(value, seq)
-                     FILTER (WHERE op IN ('UPSERT', 'PATCH_V')) AS value
-            FROM live GROUP BY user_id
-        """,
         "lake_rebucket": """
             WITH ev AS (
               SELECT CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
@@ -4442,3 +4418,7 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
             FROM numbered GROUP BY user_id, session_id
         """,
     }
+    # same final state is the whole point of the out-of-order variant —
+    # alias the oracle so the two can never silently diverge
+    oracles["cdc_patch_merge_ooo"] = oracles["cdc_patch_merge"]
+    return oracles

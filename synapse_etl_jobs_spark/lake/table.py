@@ -68,9 +68,11 @@ DELETE_OPS = ("DELETE",)  # ops that remove the key; anything else upserts
 # sets it). See merge_patches() for the merge algebra.
 CSEQ_COL = "_cseq"    # map<column name, long>: per-column winner seq; the
                       # reserved key below holds the latest DELETE seq.
-FOLD_COL = "_fold"    # monotone fold counter (sum of live per-column seqs
-                      # + delete seq): read-time tie-break so the LATEST
-                      # written state of a key wins on equal _seq.
+FOLD_COL = "_fold"    # monotone fold counter: each patch merge writes
+                      # max(stored effective fold, new row seq) + 1, so it
+                      # STRICTLY increases on every write for ANY seq
+                      # values (negative included) — read-time tie-break
+                      # so the LATEST written state wins on equal _seq.
 DEL_KEY = "__del__"   # reserved _cseq map key: latest DELETE seq
 LIVE_KEY = "__live__"  # reserved _cseq map key: latest non-DELETE seq (touch)
 PATCH_PROP = "patch_seqs"
@@ -1495,6 +1497,7 @@ class LakeTable:
                     "*",
                     F.lit(None).cast("long").alias("_stored_seq"),
                     F.lit(None).cast("boolean").alias("_stored_del"),
+                    F.lit(None).cast("long").alias("_stored_fold"),
                     F.lit(None).cast("map<string,long>").alias("_stored_cseq"),
                     *[F.lit(None).cast(current_schema[c].dataType)
                       .alias(f"_stored_{c}") for c in payload_cols],
@@ -1506,6 +1509,8 @@ class LakeTable:
                     *m.key_cols,
                     F.col(SEQ_COL).alias("_stored_seq"),
                     F.col(DELETED_COL).alias("_stored_del"),
+                    (F.col(FOLD_COL) if FOLD_COL in stored.columns
+                     else F.lit(None).cast("long")).alias("_stored_fold"),
                     (F.col(CSEQ_COL) if CSEQ_COL in stored.columns
                      else F.lit(None).cast("map<string,long>")
                      ).alias("_stored_cseq"),
@@ -1520,10 +1525,11 @@ class LakeTable:
             #                    write to c at or below it can never become
             #                    visible. Clamping dead cols to the delete
             #                    seq (instead of dropping their entries)
-            #                    keeps the map pointwise-monotone, which
-            #                    keeps _fold (= sum of entries + del)
-            #                    STRICTLY increasing on every write — the
-            #                    read-time tie-break relies on that.
+            #                    keeps the map pointwise-monotone.
+            #                    _fold (a per-key write counter, see the
+            #                    fold comment below) STRICTLY increases
+            #                    on every write — the read-time
+            #                    tie-break relies on that.
             #   _cseq[__del__] = latest DELETE seq.
             #   value of c     = the winning write's value iff its seq >
             #                    the delete seq (alive), else null.
@@ -1576,6 +1582,9 @@ class LakeTable:
                 ndel.alias("_ndel"),
                 ntouch.alias("_ntouch"),
                 is_live.alias("_is_live"),
+                # stored effective fold (legacy full-row versions read as
+                # fold = _seq, matching _lww_stored's coalesce)
+                F.coalesce(F.col("_stored_fold"), sseq).alias("_sfold"),
             )
 
             ents = [F.col(col_seq_col(c)) for c in payload_cols]
@@ -1587,19 +1596,24 @@ class LakeTable:
             cseq_map = F.map_filter(
                 F.create_map(*cseq_entries), lambda k, v: v.isNotNull()
             )
-            fold = (
-                F.coalesce(F.col("_ndel"), F.lit(0)).cast("long")
-                + F.coalesce(F.col("_ntouch"), F.lit(0))
-            )
-            for c in payload_cols:
-                fold = fold + F.coalesce(F.col(col_seq_col(c)), F.lit(0))
+            # fold = max(stored effective fold, new row seq) + 1:
+            # (a) strictly above the stored winner (and every older
+            #     physical version — each had strictly smaller
+            #     (_seq, fold)), so the read-time (_seq, _fold)
+            #     tie-break always picks this write, for ANY seq values
+            #     — a sum of seq terms is NOT monotone when a new state
+            #     entry carries a negative seq;
+            # (b) strictly above the row's own _seq, so it also beats
+            #     any equal-seq legacy full-row version (whose effective
+            #     fold reads as _seq).
+            new_seq = F.greatest(*ents, F.col("_ndel"), F.col("_ntouch"))
+            fold = F.greatest(F.col("_sfold"), new_seq) + F.lit(1)
 
             full = resolved.select(
                 *m.key_cols, *payload_cols,
                 F.when(F.col("_is_live"), F.lit("UPSERT"))
                 .otherwise(F.lit("DELETE")).alias("op"),
-                F.greatest(*ents, F.col("_ndel"), F.col("_ntouch"))
-                .alias("seq"),
+                new_seq.alias("seq"),
                 cseq_map.alias(CSEQ_COL),
                 fold.alias(FOLD_COL),
             )

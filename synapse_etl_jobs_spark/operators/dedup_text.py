@@ -1059,10 +1059,12 @@ def minhash_dedup_incremental(
       can serve only the storage buckets holding candidates instead of
       a full-table LWW read per call (see ``streaming/dedup_stream.py``).
       A superset is always sound — the candidate-id semijoin discards
-      the rest. Never invoked on the index-digest path (no corpus read
-      exists there to prune). When set for a text-verify mode, the
-      candidate pairs are localCheckpointed so a loader that collects
-      the ids on the driver doesn't re-run the probe join.
+      the rest. On the index-digest path it is invoked only with the
+      MATCHED corpus ids (usually none) to confirm digest matches
+      against current text — see the confirm step below. When set for
+      a text-verify mode, the candidate pairs are localCheckpointed so
+      a loader that collects the ids on the driver doesn't re-run the
+      probe join.
     - ``observe_banding``: callable receiving the batch's checkpointed
       banding rows ``(_id, band, bucket)`` — post-collapse, PRE-cap, the
       exact frame entering the probe/self joins. The observability hook:
@@ -1074,10 +1076,12 @@ def minhash_dedup_incremental(
       index (or loader result) carries ``(_dg, _batch)`` columns (see
       streaming ``create_dedup_tables(store_digests=True)``),
       verification digests come straight off the index rows
-      (``max_by(_dg, _batch)`` per candidate id — latest write wins, so
-      ghost rows of re-ingested documents can't resurrect old text) and
-      the corpus table is NEVER scanned: per-batch cost is O(batch +
-      probed-index rows) at any corpus size.
+      (``max_by(_dg, _batch)`` per candidate id) and only the MATCHED
+      corpus ids — usually none — are then point-read to confirm the
+      digest against the corpus's CURRENT text (a pruned index load
+      can surface a stale ghost digest for a re-ingested document):
+      per-batch cost stays O(batch + probed-index rows + matches) at
+      any corpus size.
     - ``collapse_exact`` at ``threshold >= 1.0`` also skips the
       within-batch self-join entirely: post-collapse digests are
       pairwise distinct, so no within pair can verify — dead work.
@@ -1162,8 +1166,9 @@ def minhash_dedup_incremental(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id").distinct()
     )
-    # the digest path never touches corpus text, so the loader is only
-    # live when verification must read candidate documents
+    # the digest path reads corpus text only for MATCHED ids (the
+    # confirm step below, fed from the checkpointed `hit`); this flag
+    # gates the CANDIDATE-text read of the verify modes
     needs_corpus_text = threshold < 1.0 or ix_digest_rows is None
     if corpus_loader is not None and needs_corpus_text:
         # the loader typically collects the candidate ids on the driver
@@ -1218,9 +1223,11 @@ def minhash_dedup_incremental(
         corpus_base = corpus_loader(cand_ids)
     if threshold >= 1.0:
         if ix_digest_rows is not None:
-            # digests straight off the index rows: the corpus table is
-            # never touched. One narrow partial-agg over the candidate
-            # ids' index rows; max_by(_batch) beats ghost rows.
+            # digests straight off the index rows: one narrow
+            # partial-agg over the candidate ids' index rows.
+            # max_by(_batch) picks the latest LOADED row — a pruned
+            # load can still miss a re-ingested doc's newest rows, so
+            # matches are confirmed against current corpus text below.
             cand_digests = (
                 ix_digest_rows
                 .withColumnRenamed("corpus_id", id_col)
@@ -1258,10 +1265,54 @@ def minhash_dedup_incremental(
     # whole verify and re-inline its plan
     hit = hit.localCheckpoint()
 
-    corpus_dup = (
-        hit.filter(F.col("_cross"))
-        .select(F.col("id_a").alias(id_col)).distinct()
-    )
+    cross_hits = hit.filter(F.col("_cross"))
+    if ix_digest_rows is not None and (
+        corpus_loader is not None or corpus_df is not None
+    ):
+        # CONFIRM index-digest matches against the corpus's CURRENT
+        # text before dropping anything: a pruned index load sees only
+        # the storage buckets of the PROBED bucket values, so a
+        # re-ingested document's latest rows (new text → different
+        # buckets) can be invisible there and max_by(_dg, _batch) then
+        # yields a stale ghost digest — without this check a batch doc
+        # equal to the OLD text would be silently dropped although the
+        # corpus no longer contains it. Cost: a point read of the
+        # MATCHED corpus ids only (zero when nothing matched; the ids
+        # derive from the checkpointed `hit`, so a driver-collecting
+        # loader does not re-run the verify). The inner join also
+        # drops matches whose corpus id no longer exists (deleted doc
+        # ghost rows) — the same answer the corpus-text path computes.
+        matched_ids = cross_hits.select(
+            F.col("id_b").alias(id_col)
+        ).distinct()
+        base = (
+            corpus_loader(matched_ids)
+            if corpus_loader is not None else corpus_df
+        )
+        matched_corpus = base.join(matched_ids, on=id_col, how="leftsemi")
+        cur_digests = _doc_digests(
+            matched_corpus, id_col=id_col, text_col=text_col,
+            k=shingle_k, checkpoint=False,
+        )
+        cross_hits = (
+            cross_hits
+            .join(
+                batch_digests.select(
+                    F.col(id_col).alias("id_a"), F.col("_dg").alias("_dga")
+                ),
+                "id_a",
+            )
+            .join(
+                cur_digests.select(
+                    F.col(id_col).alias("id_b"), F.col("_dg").alias("_dgb")
+                ),
+                "id_b",
+            )
+            .filter(F.col("_dga") == F.col("_dgb"))
+            .select("_cross", "id_a", "id_b")
+        )
+
+    corpus_dup = cross_hits.select(F.col("id_a").alias(id_col)).distinct()
     survivors = new_df.join(corpus_dup, on=id_col, how="left_anti")
 
     if skip_within:

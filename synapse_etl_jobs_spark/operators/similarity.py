@@ -436,9 +436,12 @@ def _exact_candidates_blocked(
     threshold: float,
     block_rows: int = 2048,
     margin: float = 1e-6,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """All-pairs cosine CANDIDATES via blocked matrix multiply: (id_a <
-    id_b) pairs whose numpy-float64 cosine is ≥ threshold − margin.
+    id_b) pairs whose numpy-float64 cosine is ≥ threshold − margin,
+    returned together with the materialized (localCheckpointed) input
+    frame so the caller's re-score joins reuse the same scan instead of
+    recomputing the corpus projection.
 
     The naive exact path — a nested-loop cross join evaluating the
     ``cosine`` expression per pair — costs O(n²) *expression
@@ -517,9 +520,10 @@ def _exact_candidates_blocked(
             pa, pb = lo, hi
         return pd.DataFrame({"id_a": pa, "id_b": pb})
 
-    return both.groupBy("bi", "bj").applyInPandas(
+    pairs = both.groupBy("bi", "bj").applyInPandas(
         score, f"id_a {id_type}, id_b {id_type}"
     )
+    return pairs, c
 
 
 def embedding_neardup_pairs(
@@ -557,9 +561,11 @@ def embedding_neardup_pairs(
     """
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if method == "exact":
-        cand = _exact_candidates_blocked(c, threshold=threshold)
-        a = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        # reuse the helper's materialized frame: the two re-score joins
+        # below read the checkpoint, not a recomputed corpus projection
+        cand, cm = _exact_candidates_blocked(c, threshold=threshold)
+        a = cm.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = cm.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
         pairs = cand.join(a, "id_a").join(b, "id_b")
     elif method == "lsh":
         sigs = rp_signatures(

@@ -273,12 +273,47 @@ def _arrow_schema_of(spark_schema: StructType) -> "pa.Schema":
     return to_arrow_schema(spark_schema)
 
 
+def _translate_cseq_keys(t: "pa.Table", rename: dict) -> "pa.Table":
+    """Translate ``_cseq`` map KEYS through an epoch rename map — the
+    Arrow mirror of LakeTable._read_files' ``transform_keys`` step: the
+    per-column CRDT state keys columns by name, so a renamed column's
+    stored winner seq must follow the rename or it is orphaned.
+    Vectorized: keys are dictionary-encoded, only the (tiny) dictionary
+    goes through Python; row validity is preserved via null offsets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = t.column_names.index(CSEQ_COL)
+    out_chunks = []
+    for ma in t.column(idx).chunks:
+        n = len(ma)
+        if n == 0 or len(ma.keys) == 0:
+            out_chunks.append(ma)
+            continue
+        enc = pc.dictionary_encode(ma.keys)
+        new_dict = pa.array(
+            [rename.get(k.as_py(), k.as_py()) for k in enc.dictionary],
+            type=pa.string(),
+        )
+        new_keys = pc.take(new_dict, enc.indices)
+        off = ma.offsets
+        head = pc.if_else(
+            ma.is_valid(), off.slice(0, n), pa.scalar(None, pa.int32())
+        )
+        offsets = pa.concat_arrays([head, off.slice(n, 1)])
+        out_chunks.append(pa.MapArray.from_arrays(offsets, new_keys, ma.items))
+    return t.set_column(
+        idx, CSEQ_COL, pa.chunked_array(out_chunks, type=t.column(idx).type)
+    )
+
+
 def _read_files_arrow(
     files: list[dict], target: "pa.Schema"
 ) -> "pa.Table":
     """Read parquet files, resolve schema epochs (rename → null-fill →
     cast), return one Arrow table in ``target`` column order.  Mirrors
-    LakeTable._read_files exactly (lake/table.py:322)."""
+    LakeTable._read_files exactly (lake/table.py:322), including the
+    ``_cseq`` key translation through epoch rename maps."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -288,6 +323,8 @@ def _read_files_arrow(
         rename = f.get("rename") or {}
         if rename:
             t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+            if CSEQ_COL in t.column_names:
+                t = _translate_cseq_keys(t, rename)
         cols = []
         for field in target:
             if field.name in t.column_names:

@@ -44,7 +44,8 @@ documents only. Four guards keep the probe sub-linear in the corpus:
   the storage buckets holding the candidate ids (``prune_corpus_scan``
   — the corpus table is bucketed on the id), so the per-batch text
   read is O(candidate buckets), never a full-corpus LWW scan. At
-  threshold 1.0 with ``store_digests`` the corpus is not read at all.
+  threshold 1.0 with ``store_digests`` only MATCHED ids (usually none)
+  are point-read, to confirm digest matches against current text.
 
 Keying the index by the FULL (id, band, bucket) triple makes rows
 immutable facts: a document re-ingested with different text ADDS its
@@ -94,11 +95,13 @@ def create_dedup_tables(
     batch that wrote the row) — so threshold-1.0 verification can run
     ENTIRELY off index rows: the probe job stops scanning the corpus
     table for candidate text (at a 100 TB corpus, that full-table LWW
-    read per micro-batch is the dominant probe cost). ``_batch`` makes
-    the per-id digest choice ghost-safe: a re-ingested document leaves
-    its old (band, bucket) rows behind, and ``max_by(_dg, _batch)``
-    always verifies against the LATEST ingested text — the same answer
-    the corpus-text path computes."""
+    read per micro-batch is the dominant probe cost). ``_batch`` picks
+    the latest digest among the LOADED rows (``max_by(_dg, _batch)``);
+    because the pruned index load can still miss a re-ingested
+    document's newest rows (new text → different buckets), the operator
+    additionally point-reads the MATCHED corpus ids — usually none —
+    and confirms each digest match against the corpus's current text,
+    so the final answer always equals the corpus-text path's."""
     docs = LakeTable.create(
         spark, docs_path, doc_schema, [id_col],
         num_buckets=num_buckets, write_mode=write_mode,
@@ -171,9 +174,10 @@ def dedup_stream_into_table(
     the driver and the corpus read prunes to the storage buckets holding
     them (the corpus table is bucketed on the id), instead of a
     full-table LWW read per micro-batch; above ``prune_max_values``
-    candidates it falls back to the full view. The index-digest path
-    (``store_digests`` at threshold 1.0) never reads the corpus at all,
-    so the flag is inert there.
+    candidates it falls back to the full view. On the index-digest path
+    (``store_digests`` at threshold 1.0) the same pruning serves the
+    confirm step's point read of MATCHED ids — an empty match set reads
+    nothing at all.
 
     ``metrics_path`` (opt-in): append one JSON line per applied batch —
     batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
@@ -254,7 +258,13 @@ def dedup_stream_into_table(
                     r[id_col]
                     for r in cand_ids.limit(prune_max_values + 1).collect()
                 ]
-                if vals and len(vals) <= prune_max_values:
+                if not vals:
+                    # no ids to read — an empty LocalRelation instead of
+                    # a full corpus view keeps the digest path's confirm
+                    # step at literally zero scan cost when no candidate
+                    # matched (the common case)
+                    return corpus.limit(0)
+                if len(vals) <= prune_max_values:
                     return docs_table.scan_keys([(v,) for v in vals])
             return corpus
 

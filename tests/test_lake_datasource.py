@@ -307,6 +307,39 @@ def test_stream_rejects_cow_versions(spark, tmp_path):
         rdr.partitions({"version": 0}, {"version": 1})
 
 
+def test_cseq_keys_follow_rename_through_datasource(spark, tmp_table_path):
+    """include_internal reads must translate the per-column CRDT map
+    keys through epoch renames exactly like LakeTable.read does — an
+    internal-state consumer seeing ``_cseq`` keyed by a DEAD column
+    name would treat the winner seq as orphaned."""
+    schema = StructType().add("k", "long").add("a", "string")
+    t = LakeTable.create(spark, tmp_table_path, schema, ["k"],
+                         num_buckets=2, write_mode="mor")
+    t.merge_patches(
+        spark.createDataFrame(
+            [(1, "x", "PATCH", 10, ["a"])],
+            "k long, a string, op string, seq long, set_cols array<string>",
+        ),
+        stream_id="s", batch_id=0,
+    )
+    t.evolve_schema(renames={"a": "a2"})
+    register(spark)
+    via_ds = (
+        spark.read.format("synlake")
+        .option("path", t.path)
+        .option("include_internal", "true")
+        .load()
+    )
+    [row] = via_ds.collect()
+    ds_keys = set((row[lds.CSEQ_COL] or {}).keys())
+    assert "a2" in ds_keys and "a" not in ds_keys
+    # and bit-equal to the JVM read path's translation
+    [jvm_row] = LakeTable.load(spark, t.path).read(
+        include_internal=True
+    ).collect()
+    assert dict(row[lds.CSEQ_COL]) == dict(jvm_row[lds.CSEQ_COL])
+
+
 def test_lww_reduce_arrow_exact_above_2_53():
     """Seq comparison must be exact int64 — 2^53 + 1 vs 2^53 differ."""
     import pyarrow as pa

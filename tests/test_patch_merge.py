@@ -177,6 +177,28 @@ def test_stale_patch_cannot_clobber_newer_column(spark, table):
     assert _read_state(table) == {1: ("new", 11.5)}
 
 
+def test_negative_seq_delete_not_lost_on_fold_tie(spark, tmp_path_factory):
+    """_fold must strictly increase for ANY seq values (it is a write
+    counter, not a sum of seq terms): with negative event seqs a
+    sum-of-entries fold could DECREASE on a write that clamps a column
+    to a negative delete seq, so the equal-_seq read-time tie resolved
+    to the STALE stored row and the column delete was silently lost."""
+    b1 = [
+        (1, "x", None, "PATCH", 10, ["a"]),
+        (1, None, 5.0, "PATCH", -3, ["b"]),
+    ]
+    b2 = [(1, None, None, "DELETE", -2, None)]
+    expect = _apply_oracle(b1 + b2)
+    assert expect == {1: ("x", None)}  # the delete kills only column b
+    for mode in ("cow", "mor"):
+        root = tmp_path_factory.mktemp("negseq")
+        t = LakeTable.create(spark, str(root / "t"), SCHEMA, ["k"],
+                             num_buckets=2, write_mode=mode)
+        t.merge_patches(_ev(spark, b1), stream_id="s", batch_id=0)
+        t.merge_patches(_ev(spark, b2), stream_id="s", batch_id=1)
+        assert _read_state(t) == expect, mode
+
+
 def test_stale_predelete_patch_cannot_resurrect(spark, table):
     """A DELETE's seq bounds every column: a pre-delete patch delivered
     AFTER the delete batch must not resurrect the key or any column."""
@@ -243,10 +265,12 @@ def test_patch_property_out_of_order_batches(spark, tmp_path_factory):
     @given(raw=st.lists(event_st, min_size=2, max_size=24),
            cuts=st.tuples(st.integers(1, 23), st.integers(1, 23)),
            order=st.permutations([0, 1, 2]),
+           seq_base=st.integers(min_value=-25, max_value=1),
            mode=st.sampled_from(["cow", "mor"]))
-    def run(raw, cuts, order, mode):
+    def run(raw, cuts, order, seq_base, mode):
+        # negative seq domains included — see the in-order property test
         events = [
-            (k, a, b, op, i + 1, set_cols if op == "PATCH" else None)
+            (k, a, b, op, seq_base + i, set_cols if op == "PATCH" else None)
             for i, (k, a, b, op, _s, set_cols) in enumerate(raw)
         ]
         c1, c2 = sorted(min(c, len(events)) for c in cuts)
@@ -305,10 +329,14 @@ def test_patch_property_random_streams(spark, tmp_path_factory):
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(raw=st.lists(event_st, min_size=1, max_size=24),
            split=st.integers(min_value=1, max_value=23),
+           seq_base=st.integers(min_value=-25, max_value=1),
            mode=st.sampled_from(["cow", "mor"]))
-    def run(raw, split, mode):
+    def run(raw, split, seq_base, mode):
+        # seq_base shifts the seq domain below zero: event seqs are
+        # arbitrary longs, and the _fold tie-break must hold for
+        # negative values too (it is a write counter, not a seq sum)
         events = [
-            (k, a, b, op, i + 1, set_cols if op == "PATCH" else None)
+            (k, a, b, op, seq_base + i, set_cols if op == "PATCH" else None)
             for i, (k, a, b, op, _s, set_cols) in enumerate(raw)
         ]
         root = tmp_path_factory.mktemp("patchprop")

@@ -302,7 +302,7 @@ def test_blocked_exact_candidates_match_naive(spark):
                 F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
         .filter(F.col("sim") >= thr)
     )
-    cand = _exact_candidates_blocked(c, threshold=thr, block_rows=37)
+    cand, _cm = _exact_candidates_blocked(c, threshold=thr, block_rows=37)
     blocked = (
         cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b",
