@@ -802,14 +802,34 @@ class LakeTable:
         self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest
 
-    def _current_view(self, entries: list[dict[str, Any]]) -> DataFrame | None:
+    def _current_view(
+        self,
+        entries: list[dict[str, Any]],
+        project: "Sequence[str] | None" = None,
+    ) -> DataFrame | None:
         """Snapshot view over file entries: raw read for pure-base buckets;
         when delta files are present (merge-on-read mode) an LWW reduction
         collapses multi-version keys first — the read-time half of the
-        CoW/MoR tradeoff (Iceberg merge-on-read semantics)."""
+        CoW/MoR tradeoff (Iceberg merge-on-read semantics).
+
+        ``project`` prunes the view to keys + the named payload columns
+        BEFORE the LWW reduce, so the pruning reaches the parquet scan —
+        a wide payload column (document text, blobs) never leaves disk
+        when the caller wants two slim columns. Sound because the reduce
+        orders by (``_seq``, ``_fold``) with the payload struct only as
+        a final determinism tie-break, and stored multi-version rows of
+        one key never tie on both: merge() writes one LWW-reduced row
+        per key per batch (distinct seqs), and patch tables add the
+        strictly-increasing fold."""
         df = self._read_files(entries)
         if df is None:
             return None
+        if project is not None:
+            keep = list(dict.fromkeys(
+                [*self.manifest.key_cols, *project]
+            ))
+            internal = [c for c in INTERNAL_COLS if c in df.columns]
+            df = df.select(*keep, *internal)
         if any(e.get("kind", "base") == "delta" for e in entries):
             df = self._lww_stored(df)
         return df
@@ -900,11 +920,18 @@ class LakeTable:
         df = self._read_files(new_entries)
         return self._lww_stored(df)
 
-    def scan_keys(self, key_values: Sequence[tuple]) -> DataFrame:
+    def scan_keys(
+        self,
+        key_values: Sequence[tuple],
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
         """Bucket-pruned point scan: read only the buckets that can contain
         the given ``bucket_cols`` value tuples (the payoff of hash
         bucketing — at 100 TB this touches #distinct-buckets files, not
-        the table)."""
+        the table). ``columns`` additionally prunes the read to keys +
+        the named payload columns — pruning applied BEFORE the MoR LWW
+        reduce (see ``_current_view``), so a wide unrequested column
+        never leaves parquet."""
         import pandas as pd
 
         current = self.manifest.current_schema()
@@ -932,9 +959,17 @@ class LakeTable:
             if int(b) in wanted
             for e in lst
         ]
-        df = self._current_view(entries)
+        df = self._current_view(entries, project=columns)
         if df is None:
-            return self.spark.createDataFrame([], self.manifest.current_schema())
+            empty_schema = self.manifest.current_schema()
+            if columns is not None:
+                keep = list(dict.fromkeys(
+                    [*self.manifest.key_cols, *columns]
+                ))
+                empty_schema = StructType(
+                    [f for f in empty_schema.fields if f.name in keep]
+                )
+            return self.spark.createDataFrame([], empty_schema)
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*INTERNAL_COLS)
 
     def _file_blooms(self, files: list[str]) -> dict[str, dict[str, Any]]:

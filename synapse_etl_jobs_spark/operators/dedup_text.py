@@ -1290,10 +1290,19 @@ def minhash_dedup_incremental(
             if corpus_loader is not None else corpus_df
         )
         matched_corpus = base.join(matched_ids, on=id_col, how="leftsemi")
-        cur_digests = _doc_digests(
-            matched_corpus, id_col=id_col, text_col=text_col,
-            k=shingle_k, checkpoint=False,
-        )
+        if "_dg" in matched_corpus.columns:
+            # the corpus stores each row's own shingle-set digest (see
+            # streaming create_dedup_tables(store_digests=True)): the
+            # confirm reads id + _dg only — the text column never
+            # leaves parquet and nothing is re-shingled. The stored
+            # digest must use this probe's shingle_k (same
+            # table-lifetime contract as the LSH parameters).
+            cur_digests = matched_corpus.select(id_col, "_dg")
+        else:
+            cur_digests = _doc_digests(
+                matched_corpus, id_col=id_col, text_col=text_col,
+                k=shingle_k, checkpoint=False,
+            )
         cross_hits = (
             cross_hits
             .join(
@@ -1310,6 +1319,12 @@ def minhash_dedup_incremental(
             )
             .filter(F.col("_dga") == F.col("_dgb"))
             .select("_cross", "id_a", "id_b")
+            # the confirm subtree (point read + digest over matched
+            # docs) would otherwise re-inline into every downstream
+            # branch — corpus_dup feeds survivors, which the within
+            # star-contraction references twice more. The confirmed
+            # pair set is tiny (≤ matched pairs); cut it once.
+            .localCheckpoint()
         )
 
     corpus_dup = cross_hits.select(F.col("id_a").alias(id_col)).distinct()

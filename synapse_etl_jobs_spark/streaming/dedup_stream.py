@@ -67,6 +67,7 @@ from pyspark.sql.types import StructType
 from synapse_etl_jobs_spark.lake import LakeTable
 from synapse_etl_jobs_spark.operators.dedup_text import (
     minhash_dedup_incremental,
+    shingle_set_hash,
 )
 
 
@@ -92,8 +93,13 @@ def create_dedup_tables(
 
     ``store_digests`` (default) adds two payload columns to the index —
     ``_dg`` (the document's shingle-set sha digest) and ``_batch`` (the
-    batch that wrote the row) — so threshold-1.0 verification can run
-    ENTIRELY off index rows: the probe job stops scanning the corpus
+    batch that wrote the row) — plus a ``_dg`` payload column on the
+    CORPUS table (each row's own digest, written per row so it can
+    never pair with another row's text): the confirm step's point read
+    then compares stored digests directly — id + ``_dg`` columns only,
+    the text column never leaves parquet and nothing is re-shingled.
+    Threshold-1.0 verification runs ENTIRELY off index rows: the probe
+    job stops scanning the corpus
     table for candidate text (at a 100 TB corpus, that full-table LWW
     read per micro-batch is the dominant probe cost). ``_batch`` picks
     the latest digest among the LOADED rows (``max_by(_dg, _batch)``);
@@ -102,6 +108,10 @@ def create_dedup_tables(
     additionally point-reads the MATCHED corpus ids — usually none —
     and confirms each digest match against the corpus's current text,
     so the final answer always equals the corpus-text path's."""
+    if store_digests:
+        doc_schema = StructType.fromJson(doc_schema.jsonValue()).add(
+            "_dg", "string"
+        )
     docs = LakeTable.create(
         spark, docs_path, doc_schema, [id_col],
         num_buckets=num_buckets, write_mode=write_mode,
@@ -201,6 +211,14 @@ def dedup_stream_into_table(
     index_has_digests = {"_dg", "_batch"}.issubset(
         {f.name for f in index_table.manifest.current_schema().fields}
     )
+    # corpus tables created with store_digests carry the row's own
+    # shingle-set digest: the confirm step's point read then compares
+    # stored digests (id + _dg columns only) instead of re-shingling
+    # matched text. Written per ROW below — never joined in, so a
+    # duplicate-id batch cannot pair a digest with another row's text.
+    docs_have_digest = "_dg" in {
+        f.name for f in docs_table.manifest.current_schema().fields
+    }
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # no-op only when BOTH commits landed: keying on the docs
@@ -265,7 +283,18 @@ def dedup_stream_into_table(
                     # matched (the common case)
                     return corpus.limit(0)
                 if len(vals) <= prune_max_values:
-                    return docs_table.scan_keys([(v,) for v in vals])
+                    # column-prune the point read to what the consumer
+                    # compares: stored digests on the index-digest
+                    # confirm (the text column never leaves parquet),
+                    # candidate text on the verify modes
+                    if (index_has_digests and threshold >= 1.0
+                            and docs_have_digest):
+                        need = ["_dg"]
+                    else:
+                        need = [text_col]
+                    return docs_table.scan_keys(
+                        [(v,) for v in vals], columns=need
+                    )
             return corpus
 
         # NOT pre_reduced: a batch may legally carry the same id twice
@@ -347,9 +376,14 @@ def dedup_stream_into_table(
                 ),
                 stream_id=stream_id, batch_id=batch_id,
             )
+            doc_cols = list(kept.columns)
+            if docs_have_digest:
+                doc_cols.append(
+                    shingle_set_hash(text_col, shingle_k).alias("_dg")
+                )
             docs_table.merge(
                 kept.select(
-                    *kept.columns,
+                    *doc_cols,
                     F.lit("UPSERT").alias("op"),
                     F.lit(batch_id).cast("long").alias("seq"),
                 ),
@@ -362,7 +396,7 @@ def dedup_stream_into_table(
                 # landed (a missing line never implies it didn't — crash
                 # after commit loses only the metrics row)
                 from synapse_etl_jobs_spark.operators.dedup_text import (
-                    bucket_size_histogram, shingle_set_hash,
+                    bucket_size_histogram,
                 )
 
                 def _hist(rows, group_cols):

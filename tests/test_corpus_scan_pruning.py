@@ -179,9 +179,9 @@ def test_stream_sub_one_threshold_prunes_corpus_read(spark, tmp_path):
         calls: list[list[tuple]] = []
         real_scan = docs.scan_keys
 
-        def spy(key_values, _real=real_scan, _calls=calls):
+        def spy(key_values, _real=real_scan, _calls=calls, **kw):
             _calls.append(list(key_values))
-            return _real(key_values)
+            return _real(key_values, **kw)
 
         docs.scan_keys = spy
         src = str(tmp_path / f"src_{tag}")

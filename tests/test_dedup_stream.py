@@ -243,3 +243,42 @@ def test_metrics_path_writes_batch_histograms(spark, tmp_path):
         metrics_path=metrics, **LSH,
     )
     assert len(open(metrics).readlines()) == 1
+
+
+def test_reingested_doc_ghost_does_not_drop_unique_text(spark, tmp_path):
+    """End-to-end ghost confirm: doc 10 is ingested with T1, re-ingested
+    with T2 (its T1-generation index rows become ghosts in other
+    buckets), then a batch ships Y=T1 (now UNIQUE — the corpus holds
+    only T2) and Z=T2 (a true duplicate). The pruned index load sees
+    only the ghost digest for Y's probe; the stored-digest confirm
+    (docs table `_dg` column, store_digests default) must keep Y and
+    still drop Z."""
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "sphinx of black quartz judge my vow again this very evening"
+    docs, index = create_dedup_tables(
+        spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,
+        num_buckets=4,
+    )
+    assert "_dg" in [f.name for f in docs.manifest.current_schema().fields]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in ([(10, t1)], [(10, t2)], [(100, t1), (101, t2)]):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _run(spark, tmp_path, docs, index, src, ckpt)
+    state = {r["doc_id"]: (r["text"], r["_dg"]) for r in docs.read().collect()}
+    assert set(state) == {10, 100}
+    assert state[10][0] == t2 and state[100][0] == t1
+    # the stored digest is each row's OWN text digest
+    from synapse_etl_jobs_spark.operators.dedup_text import _doc_digests
+
+    expected = {
+        r["doc_id"]: r["_dg"]
+        for r in _doc_digests(
+            spark.createDataFrame([(10, t2), (100, t1)], DOC_SCHEMA),
+            id_col="doc_id", text_col="text", k=LSH["shingle_k"],
+            checkpoint=False,
+        ).collect()
+    }
+    assert {k: v[1] for k, v in state.items()} == expected

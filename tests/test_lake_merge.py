@@ -344,6 +344,39 @@ def test_scan_keys_int_bucket_column(spark, tmp_table_path):
     assert got == {7: "v7", 23: "v23"}
 
 
+def test_scan_keys_column_pruned_point_read(spark, tmp_table_path):
+    """scan_keys(columns=...) returns keys + the named columns with the
+    SAME LWW winners as the full read, and the pruning reaches the
+    parquet scan (the plan's ReadSchema excludes unrequested payload) —
+    a wide text/blob column never leaves disk on a slim point read."""
+    from pyspark.sql.types import StructType as ST
+
+    schema = ST().add("id", "long").add("small", "string").add("big", "string")
+    t = LakeTable.create(spark, tmp_table_path, schema, ["id"],
+                         num_buckets=4, write_mode="mor")
+    t.merge(spark.createDataFrame(
+        [("INSERT", i, i, f"s{i}", "x" * 50) for i in range(40)],
+        "op string, seq long, id long, small string, big string"),
+        batch_id=0)
+    # second batch updates some keys and deletes one: the pruned read
+    # must resolve the MoR multi-version winners identically
+    t.merge(spark.createDataFrame(
+        [("UPDATE", 100, 7, "S7", "y"), ("DELETE", 101, 9, None, None)],
+        "op string, seq long, id long, small string, big string"),
+        batch_id=1)
+    keys = [(7,), (9,), (11,)]
+    full = {r["id"]: r["small"] for r in t.scan_keys(keys).collect()
+            if r["id"] in (7, 9, 11)}
+    slim_df = t.scan_keys(keys, columns=["small"])
+    assert set(slim_df.columns) == {"id", "small"}
+    slim = {r["id"]: r["small"] for r in slim_df.collect()
+            if r["id"] in (7, 9, 11)}
+    assert slim == full == {7: "S7", 11: "s11"}  # 9 deleted
+    plan = slim_df._jdf.queryExecution().executedPlan().toString()
+    assert "big:string" not in plan, "unrequested column leaked into the scan"
+    assert "small:string" in plan  # the requested one did reach the scan
+
+
 def test_lineage_empty_before_first_merge(spark, tmp_table_path):
     t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
     assert t.lineage().count() == 0

@@ -81,10 +81,15 @@ def main() -> None:
         .add("_dg", "string")
         .add("_batch", "long")
     )
+    # the corpus carries each row's own digest too: the ghost-confirm
+    # point read then compares stored digests instead of re-shingling
+    docs_schema = StructType.fromJson(sample.schema.jsonValue()).add(
+        "_dg", "string"
+    )
     docs = load_or_create(
         args.docs_table,
         lambda: LakeTable.create(
-            spark, args.docs_table, sample.schema, [args.id_col],
+            spark, args.docs_table, docs_schema, [args.id_col],
             num_buckets=args.buckets, write_mode=args.mode,
         ),
     )
