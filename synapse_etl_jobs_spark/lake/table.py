@@ -815,12 +815,17 @@ class LakeTable:
         ``project`` prunes the view to keys + the named payload columns
         BEFORE the LWW reduce, so the pruning reaches the parquet scan —
         a wide payload column (document text, blobs) never leaves disk
-        when the caller wants two slim columns. Sound because the reduce
-        orders by (``_seq``, ``_fold``) with the payload struct only as
-        a final determinism tie-break, and stored multi-version rows of
-        one key never tie on both: merge() writes one LWW-reduced row
-        per key per batch (distinct seqs), and patch tables add the
-        strictly-increasing fold."""
+        when the caller wants two slim columns. Winner-exactness
+        contract: the reduce orders by (``_seq``, ``_fold``) with the
+        payload struct only as a final determinism tie-break, so the
+        pruned view picks the SAME winner as the full read whenever
+        stored versions of a key do not tie on both ``_seq`` and
+        ``_fold`` — always true on patch tables (strictly-increasing
+        fold) and on streams whose per-batch seqs differ (every engine
+        streaming path). Two versions written at the SAME seq in
+        different batches (malformed CDC input) resolve their tie over
+        the projected payload only, so the pruned and full reads may
+        then pick different (each deterministic) versions."""
         df = self._read_files(entries)
         if df is None:
             return None
@@ -930,8 +935,9 @@ class LakeTable:
         bucketing — at 100 TB this touches #distinct-buckets files, not
         the table). ``columns`` additionally prunes the read to keys +
         the named payload columns — pruning applied BEFORE the MoR LWW
-        reduce (see ``_current_view``), so a wide unrequested column
-        never leaves parquet."""
+        reduce, so a wide unrequested column never leaves parquet; see
+        ``_current_view`` for the winner-exactness contract on
+        equal-(seq, fold) version ties."""
         import pandas as pd
 
         current = self.manifest.current_schema()
@@ -959,16 +965,25 @@ class LakeTable:
             if int(b) in wanted
             for e in lst
         ]
+        current_fields = {f.name: f for f in self.manifest.current_schema().fields}
+        if columns is not None:
+            unknown = [c for c in columns if c not in current_fields]
+            if unknown:
+                raise ValueError(
+                    f"scan_keys columns not in the table schema: {unknown}"
+                )
         df = self._current_view(entries, project=columns)
         if df is None:
-            empty_schema = self.manifest.current_schema()
-            if columns is not None:
+            if columns is None:
+                empty_schema = self.manifest.current_schema()
+            else:
+                # SAME column order as the non-empty branch: keys first,
+                # then the requested columns (deduped) — a caller's
+                # positional access must not depend on table content
                 keep = list(dict.fromkeys(
                     [*self.manifest.key_cols, *columns]
                 ))
-                empty_schema = StructType(
-                    [f for f in empty_schema.fields if f.name in keep]
-                )
+                empty_schema = StructType([current_fields[c] for c in keep])
             return self.spark.createDataFrame([], empty_schema)
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*INTERNAL_COLS)
 

@@ -1290,14 +1290,29 @@ def minhash_dedup_incremental(
             if corpus_loader is not None else corpus_df
         )
         matched_corpus = base.join(matched_ids, on=id_col, how="leftsemi")
-        if "_dg" in matched_corpus.columns:
+        has_dg = "_dg" in matched_corpus.columns
+        has_text = text_col in matched_corpus.columns
+        if has_dg and not has_text:
             # the corpus stores each row's own shingle-set digest (see
             # streaming create_dedup_tables(store_digests=True)): the
             # confirm reads id + _dg only — the text column never
             # leaves parquet and nothing is re-shingled. The stored
             # digest must use this probe's shingle_k (same
-            # table-lifetime contract as the LSH parameters).
+            # table-lifetime contract as the LSH parameters). A null
+            # stored digest fails the equality below, i.e. the batch
+            # doc is KEPT — the safe direction (a possible recall miss,
+            # never silent loss); loaders for tables that may hold null
+            # digests should return the text column too (next branch).
             cur_digests = matched_corpus.select(id_col, "_dg")
+        elif has_dg and has_text:
+            # prefer the stored digest, compute from text where null
+            # (e.g. rows written before a _dg schema migration)
+            cur_digests = matched_corpus.select(
+                id_col,
+                F.coalesce(
+                    F.col("_dg"), shingle_set_hash(text_col, shingle_k)
+                ).alias("_dg"),
+            )
         else:
             cur_digests = _doc_digests(
                 matched_corpus, id_col=id_col, text_col=text_col,

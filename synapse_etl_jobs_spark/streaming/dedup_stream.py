@@ -116,6 +116,15 @@ def create_dedup_tables(
         spark, docs_path, doc_schema, [id_col],
         num_buckets=num_buckets, write_mode=write_mode,
     )
+    if store_digests:
+        # assert "every row carries its own digest": set at CREATE time
+        # only — a table that gained _dg later via evolve_schema has
+        # null digests on pre-migration rows, and the confirm step's
+        # digest-only point read would silently skip those (the stream
+        # then reads candidate TEXT instead; see load_corpus). Writing
+        # through dedup_stream_into_table maintains the invariant — the
+        # same single-writer contract the index already requires.
+        docs._set_prop("dedup_digests", "full")
     ix_schema = (
         StructType()
         .add(id_col, doc_schema[id_col].dataType)
@@ -285,13 +294,25 @@ def dedup_stream_into_table(
                 if len(vals) <= prune_max_values:
                     # column-prune the point read to what the consumer
                     # compares: stored digests on the index-digest
-                    # confirm (the text column never leaves parquet),
-                    # candidate text on the verify modes
+                    # confirm (the text column never leaves parquet) —
+                    # but ONLY when the table asserts every row carries
+                    # one (the create-time prop); a table that gained
+                    # _dg via evolve_schema has null digests on old
+                    # rows and must fall back to candidate text, or
+                    # those rows would silently skip confirmation
+                    digests_complete = (
+                        docs_table.manifest.props.get("dedup_digests")
+                        == "full"
+                    )
                     if (index_has_digests and threshold >= 1.0
-                            and docs_have_digest):
+                            and docs_have_digest and digests_complete):
                         need = ["_dg"]
                     else:
                         need = [text_col]
+                        if docs_have_digest:
+                            # the confirm prefers a present digest and
+                            # computes from text where it is null
+                            need.append("_dg")
                     return docs_table.scan_keys(
                         [(v,) for v in vals], columns=need
                     )

@@ -282,3 +282,62 @@ def test_reingested_doc_ghost_does_not_drop_unique_text(spark, tmp_path):
         ).collect()
     }
     assert {k: v[1] for k, v in state.items()} == expected
+
+
+def test_null_stored_digest_falls_back_to_text(spark, tmp_path):
+    """A docs table whose ``_dg`` column arrived by schema migration
+    (no create-time completeness prop) holds NULL digests on old rows:
+    the confirm must read candidate text and compute the digest there,
+    or a true duplicate of such a row is silently kept."""
+    from synapse_etl_jobs_spark.operators.dedup_text import (
+        _doc_digests, minhash_index,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    schema_dg = StructType.fromJson(DOC_SCHEMA.jsonValue()).add(
+        "_dg", "string"
+    )
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"), schema_dg, ["doc_id"],
+        num_buckets=4, write_mode="mor",
+    )
+    assert docs.manifest.props.get("dedup_digests") != "full"
+    ix_schema = (
+        StructType()
+        .add("doc_id", "long").add("band", "integer").add("bucket", "long")
+        .add("_dg", "string").add("_batch", "long")
+    )
+    index = LakeTable.create(
+        spark, str(tmp_path / "ix"), ix_schema,
+        ["doc_id", "band", "bucket"], bucket_cols=["bucket"],
+        num_buckets=4, write_mode="mor",
+    )
+    # doc 10 written by an "external" path: digest column left NULL;
+    # its index rows DO carry the digest (the stale-load hazard needs
+    # the index digest to match)
+    seed = spark.createDataFrame([(10, t1)], DOC_SCHEMA)
+    docs.merge(
+        seed.select(
+            "doc_id", "text", F.lit(None).cast("string").alias("_dg"),
+            F.lit("UPSERT").alias("op"), F.lit(0).cast("long").alias("seq"),
+        ),
+        batch_id=0,
+    )
+    ixrows = minhash_index(seed, **LSH).join(
+        _doc_digests(seed, id_col="doc_id", text_col="text",
+                     k=LSH["shingle_k"], checkpoint=False),
+        "doc_id",
+    ).withColumn("_batch", F.lit(0).cast("long"))
+    index.merge(
+        ixrows.select(
+            "doc_id", "band", "bucket", "_dg", "_batch",
+            F.lit("UPSERT").alias("op"), F.lit(0).cast("long").alias("seq"),
+        ),
+        batch_id=0,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(100, t1)], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, tmp_path, docs, index, src, str(tmp_path / "ckpt"))
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == [10]

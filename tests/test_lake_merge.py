@@ -346,9 +346,13 @@ def test_scan_keys_int_bucket_column(spark, tmp_table_path):
 
 def test_scan_keys_column_pruned_point_read(spark, tmp_table_path):
     """scan_keys(columns=...) returns keys + the named columns with the
-    SAME LWW winners as the full read, and the pruning reaches the
-    parquet scan (the plan's ReadSchema excludes unrequested payload) —
-    a wide text/blob column never leaves disk on a slim point read."""
+    SAME LWW winners as the full read (exact whenever stored versions
+    don't tie on (_seq, _fold) — distinct seqs here; see _current_view
+    for the equal-seq-tie caveat), and the pruning reaches the parquet
+    scan (the plan's ReadSchema excludes unrequested payload) — a wide
+    text/blob column never leaves disk on a slim point read. Unknown
+    column names raise, and the empty-bucket branch returns the same
+    column order as the non-empty one."""
     from pyspark.sql.types import StructType as ST
 
     schema = ST().add("id", "long").add("small", "string").add("big", "string")
@@ -375,6 +379,18 @@ def test_scan_keys_column_pruned_point_read(spark, tmp_table_path):
     plan = slim_df._jdf.queryExecution().executedPlan().toString()
     assert "big:string" not in plan, "unrequested column leaked into the scan"
     assert "small:string" in plan  # the requested one did reach the scan
+    # unknown columns are rejected regardless of bucket content
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.scan_keys(keys, columns=["nope"])
+    # empty-bucket branch: same (keys, requested) column order as the
+    # non-empty branch — probe a key whose bucket holds no files
+    empty = LakeTable.create(
+        spark, tmp_table_path + "_empty", schema, ["id"], num_buckets=4
+    )
+    e = empty.scan_keys([(1,)], columns=["big", "small"])
+    assert e.columns == ["id", "big", "small"]
+    assert t.scan_keys(keys, columns=["big", "small"]).columns == \
+        ["id", "big", "small"]
 
 
 def test_lineage_empty_before_first_merge(spark, tmp_table_path):
