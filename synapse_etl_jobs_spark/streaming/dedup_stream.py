@@ -397,14 +397,37 @@ def dedup_stream_into_table(
                 ),
                 stream_id=stream_id, batch_id=batch_id,
             )
-            doc_cols = list(kept.columns)
+            doc_rows = kept
             if docs_have_digest:
-                doc_cols.append(
-                    shingle_set_hash(text_col, shingle_k).alias("_dg")
-                )
+                # attach each survivor's shingle-set digest. Reuse the
+                # raw-batch digest pass (already checkpointed) when the
+                # batch's ids are unique — saving one full text-HOF
+                # pass per batch; with duplicate ids a per-id join
+                # could pair a row with ANOTHER row's digest, so fall
+                # back to the per-row expression (always consistent
+                # with the row's own text). The uniqueness check is one
+                # agg over the slim materialized digest frame.
+                dg = captured.get("dg")
+                ids_unique = False
+                if dg is not None:
+                    c = dg.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.countDistinct(F.col(id_col)).alias("d"),
+                    ).first()
+                    ids_unique = c["n"] == c["d"]
+                if ids_unique:
+                    # plain join — both sides are batch-sized; AQE
+                    # broadcasts the slim digest side when it fits
+                    doc_rows = kept.join(
+                        dg.select(id_col, "_dg"), id_col, "left"
+                    )
+                else:
+                    doc_rows = kept.select(
+                        "*", shingle_set_hash(text_col, shingle_k).alias("_dg")
+                    )
             docs_table.merge(
-                kept.select(
-                    *doc_cols,
+                doc_rows.select(
+                    *doc_rows.columns,
                     F.lit("UPSERT").alias("op"),
                     F.lit(batch_id).cast("long").alias("seq"),
                 ),
