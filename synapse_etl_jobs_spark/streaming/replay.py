@@ -19,6 +19,7 @@ write. Here the same contract is:
 
 from __future__ import annotations
 
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -120,6 +121,7 @@ class ReplayDriver:
             batch = events.filter(
                 (F.col(self.seq_col) >= lo) & (F.col(self.seq_col) < hi)
             )
+            t0 = time.monotonic()
             s = self.table.merge(
                 batch,
                 op_col=self.op_col,
@@ -130,6 +132,10 @@ class ReplayDriver:
                 dedup_strategy=self.dedup_strategy,
             )
             s["batch_id"] = batch_id
+            # per-batch wall rides along with the lineage counts: a
+            # sustained-ingest operator watches this stay flat as the
+            # table grows (MoR merges never read stored data)
+            s["wall_sec"] = round(time.monotonic() - t0, 3)
             stats.append(s)
         return stats
 
