@@ -1215,6 +1215,37 @@ def q_cdc_lake_merge_mor(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cdc_replay_maintained(spark, sf_dir) -> DataFrame:
+    """Sustained-ingest shape: MoR replay with the driver's SCHEDULED
+    maintenance (``ReplayDriver(compact_every=2)`` — compact after every
+    2 applied batches, tombstones kept). Interleaved compaction must be
+    invisible to final state: same oracle as the plain merge paths.
+    Measured at 64M events/16 batches: bounded file count, full-read
+    latency 15-30x lower than the uncompacted delta stack, maintenance
+    pays for itself in total wall (BENCH/BASELINE.md §sustained
+    ingest)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_maint_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    ReplayDriver(table, num_batches=4, compact_every=2).replay(ev)
+    return table.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "value", F.col("_seq").alias("seq")
+    )
+
+
 def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
     """Mid-stream schema evolution: merge epoch-0 batch, rename value→val
     and add column k, merge epoch-1 batch with the new shape; epoch-0
@@ -2986,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": q_json_quarantine,
         "filename_to_date": q_filename_to_date,
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
+        "cdc_replay_maintained": q_cdc_replay_maintained,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
@@ -3844,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_COPY_ORACLE,
         "ann_ivf": _ANN_COPY_ORACLE,
         "cdc_lake_merge_mor": _CDC_ORACLE,
+        "cdc_replay_maintained": _CDC_ORACLE,
         "datasource_read": _CDC_ORACLE,
         "datasource_point_scan": """
 WITH ev AS (

@@ -15,10 +15,10 @@ This harness replays B seq-window batches one window at a time and
 prints one JSON line per batch: the merge wall (from ReplayDriver's
 per-batch ``wall_sec`` stat), the table's live file-entry count, and —
 every ``--read-every`` batches — a timed full ``read().count()``.
-``--compact-every K`` interleaves ``compact()`` (timed, tombstones
-kept: mid-ingest maintenance must not GC tombstones while stale
-updates may still arrive) the way a real sustained pipeline schedules
-maintenance, showing both walls return to their floor afterwards.
+``--compact-every K`` turns on the driver's own scheduled maintenance
+(``ReplayDriver(compact_every=K)`` — timed, tombstones kept: mid-ingest
+maintenance must not GC tombstones while stale events may still be
+redelivered), showing both walls return to their floor afterwards.
 
 The final line is a summary with total events/sec and the same
 order-independent per-row sha256 xor checksum the scaling harness uses
@@ -115,6 +115,7 @@ def main() -> None:
         driver = ReplayDriver(
             table,
             batch_events=(args.events + args.batches - 1) // args.batches,
+            compact_every=args.compact_every or None,
         )
         b = driver.batch_events
 
@@ -132,14 +133,16 @@ def main() -> None:
             if applied:
                 row["merge_wall_sec"] = applied[0]["wall_sec"]
                 merge_walls.append(applied[0]["wall_sec"])
-            if args.compact_every and (i + 1) % args.compact_every == 0:
-                t0 = time.monotonic()
-                c = table.compact(drop_tombstones=False, min_files=2)
-                row["compact_wall_sec"] = round(time.monotonic() - t0, 3)
-                row["compact_rewrote_buckets"] = len(
-                    c.get("compacted_buckets", [])
-                )
-                row["files_after_compact"] = live_files()
+                c = applied[0].get("compact")
+                if c is not None:
+                    # driver-native maintenance (ReplayDriver
+                    # compact_every; tombstones kept) — the harness
+                    # measures the engine feature, not its own loop
+                    row["compact_wall_sec"] = c["wall_sec"]
+                    row["compact_rewrote_buckets"] = len(
+                        c.get("compacted_buckets", [])
+                    )
+                    row["files_after_compact"] = live_files()
             if args.read_every and (i + 1) % args.read_every == 0:
                 t0 = time.monotonic()
                 n = table.read().count()
