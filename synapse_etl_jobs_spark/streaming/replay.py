@@ -53,6 +53,8 @@ class ReplayDriver:
         dedup_strategy: str = "semijoin",
         compact_every: int | None = None,
         compact_opts: dict[str, Any] | None = None,
+        vacuum_every: int | None = None,
+        vacuum_opts: dict[str, Any] | None = None,
     ):
         """``batch_events`` fixes the seq-window width; alternatively
         ``num_batches`` derives the width from the stream's seq span (one
@@ -75,11 +77,28 @@ class ReplayDriver:
         mid-ingest maintenance never GCs them. A caller that owns the
         source's redelivery horizon can override via ``compact_opts``
         (forwarded verbatim to ``compact()``, e.g. ``sort_cols`` /
-        ``target_file_mb`` / an explicit ``drop_tombstones=True``)."""
+        ``target_file_mb`` / an explicit ``drop_tombstones=True``).
+
+        ``vacuum_every=K`` schedules the OTHER growth term's maintenance:
+        the manifest version chain and the dead data files it pins grow
+        one commit per batch (plus one per compaction) forever —
+        ``vacuum()`` (Iceberg expire-snapshots + remove-orphans analog)
+        reclaims versions older than ``retain_versions`` and their
+        exclusive files. Opting in trades time travel / ``rollback``
+        depth beyond ``retain_versions`` for bounded metadata+disk; the
+        batch markers live in the RETAINED manifest, so exactly-once
+        replay short-circuiting is unaffected. Safe inside the loop
+        because the driver IS the table's single writer. When both fire
+        on the same batch, compaction runs first so vacuum immediately
+        reclaims the files it obsoleted. ``vacuum_opts`` is forwarded to
+        ``vacuum()`` (default ``retain_versions=2``: the current version
+        plus one rollback point)."""
         if num_batches is not None and num_batches < 1:
             raise ValueError("num_batches must be >= 1")
         if compact_every is not None and compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+        if vacuum_every is not None and vacuum_every < 1:
+            raise ValueError("vacuum_every must be >= 1")
         self.table = table
         self.stream_id = stream_id
         self.batch_events = batch_events
@@ -94,10 +113,13 @@ class ReplayDriver:
             "drop_tombstones": False,
             **(compact_opts or {}),
         }
-        # persists across replay() calls: a tailing loop invokes replay()
+        self.vacuum_every = vacuum_every
+        self.vacuum_opts = {"retain_versions": 2, **(vacuum_opts or {})}
+        # persist across replay() calls: a tailing loop invokes replay()
         # once per poll, and "every K applied batches" must count across
         # polls, not per call
         self._applied_since_compact = 0
+        self._applied_since_vacuum = 0
 
     def replay(
         self, events: DataFrame, *, seq_start: int = 0, seq_end: int | None = None
@@ -168,6 +190,7 @@ class ReplayDriver:
             # table grows (MoR merges never read stored data)
             s["wall_sec"] = round(time.monotonic() - t0, 3)
             self._applied_since_compact += 1
+            self._applied_since_vacuum += 1
             if (
                 self.compact_every
                 and self._applied_since_compact >= self.compact_every
@@ -177,6 +200,15 @@ class ReplayDriver:
                 c["wall_sec"] = round(time.monotonic() - t0, 3)
                 s["compact"] = c
                 self._applied_since_compact = 0
+            if (
+                self.vacuum_every
+                and self._applied_since_vacuum >= self.vacuum_every
+            ):
+                t0 = time.monotonic()
+                v = self.table.vacuum(**self.vacuum_opts)
+                v["wall_sec"] = round(time.monotonic() - t0, 3)
+                s["vacuum"] = v
+                self._applied_since_vacuum = 0
             stats.append(s)
         return stats
 
@@ -202,6 +234,8 @@ def stream_into_table(
     set_col: str = "set_cols",
     compact_every: int | None = None,
     compact_opts: dict[str, Any] | None = None,
+    vacuum_every: int | None = None,
+    vacuum_opts: dict[str, Any] | None = None,
 ):
     """Structured-Streaming ingestion: ``foreachBatch`` merge with the
     Spark-assigned ``batch_id`` as the marker key. The checkpoint directory
@@ -219,6 +253,9 @@ def stream_into_table(
     which only ever compacts EARLIER than a persisted counter would —
     maintenance needs no exactly-once state of its own (compaction is
     state-preserving), so nothing is checkpointed for it.
+    ``vacuum_every=K`` likewise schedules manifest-chain + orphan-file
+    reclamation (ReplayDriver docstring has the trade-off; compaction
+    runs before vacuum when both fire on one batch).
 
     ``patches=True`` routes micro-batches through ``merge_patches`` —
     partial-column change events (see operators/patch.py). Patch
@@ -228,6 +265,7 @@ def stream_into_table(
     stale batch redelivered under a fresh id, reconverges.
     """
     copts = {"min_files": 2, "drop_tombstones": False, **(compact_opts or {})}
+    vopts = {"retain_versions": 2, **(vacuum_opts or {})}
     applied_count = [0]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -255,6 +293,8 @@ def stream_into_table(
             applied_count[0] += 1
             if compact_every and applied_count[0] % compact_every == 0:
                 table.compact(**copts)
+            if vacuum_every and applied_count[0] % vacuum_every == 0:
+                table.vacuum(**vopts)
 
     writer = (
         events_stream.writeStream.foreachBatch(apply_batch)

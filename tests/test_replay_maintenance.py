@@ -115,6 +115,59 @@ def test_compact_every_keeps_tombstones(spark, tmp_path):
     assert t.read().filter(F.col("repo") == "r1").count() == 0
 
 
+def test_vacuum_every_bounds_versions_and_disk(spark, tmp_path):
+    """vacuum_every reclaims the manifest chain + dead files mid-ingest:
+    state and markers unaffected, no orphan parquet left on disk,
+    time travel bounded to retain_versions."""
+    import os
+
+    import pytest
+
+    ev = flatten_events(
+        synth_change_events(spark, N, seed=14, n_keys=N // 4)
+    ).persist()
+    try:
+        plain = LakeTable.create(spark, str(tmp_path / "plain"), SCHEMA, KEYS,
+                                 num_buckets=4, write_mode="mor")
+        ReplayDriver(plain, batch_events=BATCH).replay(ev, seq_start=0, seq_end=N)
+
+        root = str(tmp_path / "m")
+        t = LakeTable.create(spark, root, SCHEMA, KEYS,
+                             num_buckets=4, write_mode="mor")
+        stats = ReplayDriver(
+            t, batch_events=BATCH, compact_every=2, vacuum_every=2,
+            vacuum_opts={"retain_versions": 1},
+        ).replay(ev, seq_start=0, seq_end=N)
+        applied = [s for s in stats if s.get("applied", True)]
+        vacs = [s["vacuum"] for s in applied if "vacuum" in s]
+        assert len(vacs) == len(applied) // 2
+        assert all(v["wall_sec"] >= 0 for v in vacs)
+        # compact fired on the same batches BEFORE vacuum, so vacuum
+        # reclaimed the files compaction obsoleted immediately
+        assert vacs[-1]["deleted_data_files"] > 0
+
+        assert _fp(t.read()) == _fp(plain.read())
+        # no orphans: every parquet on disk is referenced by the manifest
+        on_disk = sum(
+            1 for _, _, fns in os.walk(os.path.join(root, "data"))
+            for f in fns if f.endswith(".parquet")
+        )
+        assert on_disk == _files(t)
+        # manifest chain bounded: root version files == retain_versions
+        roots = [f for f in os.listdir(os.path.join(root, "_manifests"))
+                 if f.startswith("v") and f.endswith(".json")]
+        assert len(roots) == 1
+        # markers intact: full re-replay short-circuits
+        again = ReplayDriver(t, batch_events=BATCH).replay(
+            ev, seq_start=0, seq_end=N)
+        assert all(s.get("reason") == "batch_already_applied" for s in again)
+        # time travel beyond the retained window is gone
+        with pytest.raises(Exception):
+            LakeTable.load(spark, root, version=1).read().count()
+    finally:
+        ev.unpersist()
+
+
 def test_stream_into_table_compact_every(spark, tmp_path):
     """Structured-Streaming path: one file per micro-batch, compaction
     after every 2 applied batches, state equal to a one-shot merge."""

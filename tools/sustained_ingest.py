@@ -19,6 +19,9 @@ every ``--read-every`` batches — a timed full ``read().count()``.
 (``ReplayDriver(compact_every=K)`` — timed, tombstones kept: mid-ingest
 maintenance must not GC tombstones while stale events may still be
 redelivered), showing both walls return to their floor afterwards.
+``--vacuum-every K`` adds the metadata/disk half
+(``vacuum_every=K``): every row reports ``meta_files`` (manifest
+roots + side files + markers on disk), the growth term vacuum bounds.
 
 The final line is a summary with total events/sec and the same
 order-independent per-row sha256 xor checksum the scaling harness uses
@@ -55,6 +58,9 @@ def main() -> None:
     p.add_argument("--mode", choices=("mor", "cow"), default="mor")
     p.add_argument("--compact-every", type=int, default=0,
                    help="compact() after every K batches (0 = never)")
+    p.add_argument("--vacuum-every", type=int, default=0,
+                   help="vacuum(retain_versions=2) after every K batches "
+                        "(0 = never) — bounds the manifest chain + dead files")
     p.add_argument("--read-every", type=int, default=4,
                    help="time a full read().count() every R batches (0 = never)")
     p.add_argument("--cores", type=int,
@@ -116,11 +122,23 @@ def main() -> None:
             table,
             batch_events=(args.events + args.batches - 1) // args.batches,
             compact_every=args.compact_every or None,
+            vacuum_every=args.vacuum_every or None,
         )
         b = driver.batch_events
 
         def live_files() -> int:
             return sum(len(v) for v in table.manifest.buckets.values())
+
+        def meta_files() -> int:
+            # manifest roots + side files + markers on disk: the
+            # metadata growth term vacuum_every bounds (local paths
+            # only — the harness always runs on a local workdir)
+            n = 0
+            for _, _, fns in os.walk(
+                os.path.join(os.path.join(tmp, "t"), "_manifests")
+            ):
+                n += sum(1 for f in fns if f.endswith(".json"))
+            return n
 
         t_total0 = time.monotonic()
         merge_walls: list[float] = []
@@ -129,10 +147,16 @@ def main() -> None:
                 events, seq_start=i * b, seq_end=min((i + 1) * b, args.events)
             )
             applied = [s for s in stats if s.get("applied", True)]
-            row: dict = {"batch": i, "files": live_files()}
+            row: dict = {"batch": i, "files": live_files(),
+                         "meta_files": meta_files()}
             if applied:
                 row["merge_wall_sec"] = applied[0]["wall_sec"]
                 merge_walls.append(applied[0]["wall_sec"])
+                v = applied[0].get("vacuum")
+                if v is not None:
+                    row["vacuum_wall_sec"] = v["wall_sec"]
+                    row["vacuum_deleted_files"] = v["deleted_data_files"]
+                    row["meta_files_after_vacuum"] = meta_files()
                 c = applied[0].get("compact")
                 if c is not None:
                     # driver-native maintenance (ReplayDriver
