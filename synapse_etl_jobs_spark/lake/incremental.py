@@ -100,8 +100,10 @@ class IncrementalAggView:
 
         ``sum_exprs`` maps output column name -> SQL expression over
         source rows, cast to ``long`` (e.g. ``{"bytes": "length(content)"}``).
-        Group columns must be non-null in practice (they become the view
-        table's key; coalesce a sentinel in the source if needed).
+        A NULL group value is one legal group: aggregation, the view
+        table's key handling (hash bucketing + LWW), and the
+        advance/refresh joins (null-safe equality) all fold nulls
+        together, matching GROUP BY semantics.
         """
         sum_exprs = dict(sum_exprs or {})
         src_schema = source.manifest.current_schema()
@@ -176,9 +178,18 @@ class IncrementalAggView:
     def advance(self, to_version: int | None = None) -> dict[str, Any]:
         """Fold source versions ``(applied, to]`` into the view.
 
-        Raises if a selected version rewrote base files (copy-on-write
-        merge or compaction) — those carry no bucket-delta record; call
-        ``refresh()`` for that window instead.
+        Compaction versions are skipped as state-preserving (their
+        manifests carry ``commit_kind="compact"``), so a source ingesting
+        under ``ReplayDriver(compact_every=K)`` keeps advancing
+        incrementally. Raises for windows containing a copy-on-write
+        merge, rebucket, or any other base-file rewrite without the
+        stamp — those carry no bucket-delta record; call ``refresh()``
+        for that window instead.
+
+        Interaction with ``vacuum``: the pre-image read needs the
+        manifest at ``applied_version`` to still exist — advance the
+        view BEFORE vacuum expires that version (or retain enough
+        versions); otherwise ``refresh()``.
         """
         src = LakeTable.load(self.source.spark, self.source.path)
         since = self.applied_version
@@ -205,6 +216,20 @@ class IncrementalAggView:
                     f"{prev_spec} -> {cur_spec} (rebucket) — bucket-level "
                     "deltas don't compose across specs; use refresh()"
                 )
+            if cur.commit_kind == "compact":
+                # compaction is STATE-PRESERVING (same live rows as the
+                # parent; only the file layout changed — tombstone GC
+                # doesn't touch live rows either): it contributes
+                # nothing to the state diff, so rebase the path
+                # baseline and move on. Without this skip a source
+                # ingesting under ReplayDriver(compact_every=K) would
+                # force a full refresh() every K batches. The pre/post
+                # reads at ``since``/``to`` are snapshot reads over
+                # whatever layout those versions have — path churn in
+                # between is irrelevant to them.
+                prev_paths = cur_paths
+                prev_spec = cur_spec
+                continue
             for b, paths in cur_paths.items():
                 old = prev_paths.get(b, set())
                 if old - paths:
@@ -244,12 +269,21 @@ class IncrementalAggView:
             .filter(nonzero)
         )
 
-        # apply: current view values + adjustments; n==0 ⇒ group gone
+        # apply: current view values + adjustments; n==0 ⇒ group gone.
+        # NULL-SAFE key equality: a null group value is one legal group
+        # (GROUP BY folds nulls together; the lake layer buckets and
+        # LWW-reduces null keys fine) — a plain equi-join would never
+        # match it, so the adjustment would OVERWRITE the stored value
+        # instead of accumulating onto it.
         cur_view = self.view.read()
+        on = None
+        for k in self.group_cols:
+            c = F.col(f"a.{k}").eqNullSafe(F.col(f"v.{k}"))
+            on = c if on is None else on & c
         merged = adj.alias("a").join(
-            cur_view.alias("v"), on=self.group_cols, how="left"
+            cur_view.alias("v"), on=on, how="left"
         ).select(
-            *self.group_cols,
+            *[F.col(f"a.{k}").alias(k) for k in self.group_cols],
             *[
                 (F.coalesce(F.col(f"v.{c}"), F.lit(0)) + F.col(f"a.{c}")).alias(c)
                 for c in ["n_rows", *sum_cols]
@@ -269,7 +303,15 @@ class IncrementalAggView:
         to = src.manifest.table_version
         fresh = self._aggregate(src.read())
         cur = self.view.read().select(*self.group_cols)
-        gone = cur.join(fresh.select(*self.group_cols), self.group_cols, "left_anti")
+        # null-safe anti-join: a live null group must not be tombstoned
+        # (plain equi-anti would never match it against fresh)
+        on = None
+        for k in self.group_cols:
+            c = F.col(f"c.{k}").eqNullSafe(F.col(f"f.{k}"))
+            on = c if on is None else on & c
+        gone = cur.alias("c").join(
+            fresh.select(*self.group_cols).alias("f"), on, "left_anti"
+        )
         sum_cols = list(self.sum_exprs)
         updates = fresh.withColumn("_ivm_op", F.lit("UPSERT")).unionByName(
             gone.select(

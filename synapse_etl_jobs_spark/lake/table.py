@@ -314,6 +314,16 @@ class Manifest:
     # the loader / committer; {} on legacy inline manifests until their
     # next commit re-shards them.
     bucket_refs: dict[str, str] = field(default_factory=dict)
+    # what produced this version. Only "compact" is load-bearing today:
+    # compaction is STATE-PRESERVING (same live rows as the parent, only
+    # the file layout changes), and incremental consumers
+    # (lake/incremental.py advance()) use the stamp to skip those
+    # versions instead of falling back to a full refresh — without it a
+    # source ingesting under ReplayDriver(compact_every=K) would force a
+    # refresh every K batches. None on legacy manifests and on commit
+    # paths that don't stamp (merge, evolve, rollback, ...): consumers
+    # must treat None as "assume state-changing".
+    commit_kind: str | None = None
 
     def to_json(self) -> str:
         """Legacy INLINE serialization (file lists embedded) — kept for
@@ -1813,6 +1823,9 @@ class LakeTable:
             applied_batches=m.applied_batches,
             parent_version=m.table_version,
             props=m.props,
+            # state-preserving stamp: lets incremental consumers skip
+            # this version instead of refreshing (see Manifest.commit_kind)
+            commit_kind="compact",
         )
         self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest

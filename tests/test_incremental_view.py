@@ -163,8 +163,12 @@ def test_cow_window_rejected_and_refresh_recovers(spark, tmp_path):
     source.merge(_batch(spark, [("UPSERT", 1, "r", "a", "py", 5)]), batch_id=0)
     view = IncrementalAggView.create(spark, str(tmp_path / "view"), source, GROUPS, SUMS)
 
-    source.merge(_batch(spark, [("UPSERT", 2, "r", "b", "go", 7)]), batch_id=1)
-    source.compact()  # rewrites base files → no bucket-delta record
+    # a COPY-ON-WRITE merge rewrites the affected buckets' base files
+    # with no state-preserving stamp — advance() must refuse the window
+    # (compaction, by contrast, is stamped and skipped — see
+    # test_compaction_window_skipped)
+    source.merge(_batch(spark, [("UPSERT", 2, "r", "b", "go", 7)]),
+                 batch_id=1, mode="cow")
     source = LakeTable.load(spark, str(tmp_path / "src"))
 
     try:
@@ -179,3 +183,97 @@ def test_cow_window_rejected_and_refresh_recovers(spark, tmp_path):
     assert _view_state(view) == _recompute(source)
     # after refresh the watermark is current again; advance is a no-op
     assert view.advance()["reason"] == "up_to_date"
+
+
+def test_null_group_key_accumulates(spark, tmp_path):
+    """A NULL group value is one legal group (GROUP BY semantics): the
+    advance adjustment join and the refresh anti-join must use
+    null-safe equality — plain equi-joins never match null, so the
+    adjustment OVERWRITES the stored null-group value instead of
+    accumulating (observed via an end-to-end drive) and refresh
+    tombstones a live null group."""
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(_batch(spark, [
+        ("UPSERT", 1, "r", "a", None, 5),
+        ("UPSERT", 2, "r", "b", "py", 7),
+        ("UPSERT", 3, "r", "c", None, 11),
+    ]), batch_id=0)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+    assert _view_state(view) == _recompute(source)
+
+    # second batch touches the null group again: must ACCUMULATE
+    source.merge(_batch(spark, [
+        ("UPSERT", 4, "r", "d", None, 2),
+        ("DELETE", 5, "r", "a", None, None),
+    ]), batch_id=1)
+    view.advance()
+    assert _view_state(view) == _recompute(source)
+    assert _view_state(view)[(None,)][0] == 2  # c + d
+
+    # refresh must not tombstone the live null group
+    view.refresh()
+    assert _view_state(view) == _recompute(source)
+
+    # and must tombstone it once it truly vanishes
+    source.merge(_batch(spark, [
+        ("DELETE", 6, "r", "c", None, None),
+        ("DELETE", 7, "r", "d", None, None),
+    ]), batch_id=2)
+    view.advance()
+    assert (None,) not in _view_state(view)
+    assert _view_state(view) == _recompute(source)
+
+
+def test_compaction_window_skipped(spark, tmp_path):
+    """Compaction versions carry commit_kind='compact' and are
+    state-preserving: advance() must skip them and keep advancing
+    incrementally — the maintained-ingest source
+    (ReplayDriver(compact_every=K)) must not force refresh()."""
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(_batch(spark, [
+        ("UPSERT", 1, "r", "a", "py", 5),
+        ("UPSERT", 2, "r", "b", "go", 7),
+    ]), batch_id=0)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+
+    # window: merge + tombstone-GC'ing compaction + merge + compaction
+    source.merge(_batch(spark, [
+        ("UPSERT", 3, "r", "c", "py", 11),
+        ("DELETE", 4, "r", "b", None, None),
+    ]), batch_id=1)
+    source.compact()  # drop_tombstones=True — live rows unchanged
+    source.merge(_batch(spark, [
+        ("UPSERT", 5, "r", "b", "go", 2),
+        ("UPSERT", 6, "r", "a", "rs", 5),   # group migration py→rs
+    ]), batch_id=2)
+    source.compact(drop_tombstones=False)
+    assert source.manifest.commit_kind == "compact"
+
+    stats = view.advance()
+    assert stats["applied"] is not False
+    assert _view_state(view) == _recompute(source)
+    assert view.advance()["reason"] == "up_to_date"
+
+    # the driver-native maintained-ingest shape end to end
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    drv = ReplayDriver(source, batch_events=2, compact_every=1,
+                       op_col="op", seq_col="seq")
+    more = _batch(spark, [
+        ("UPSERT", 7, "r", "d", "sql", 3),
+        ("UPSERT", 8, "r", "e", "py", 9),
+        ("DELETE", 9, "r", "c", None, None),
+        ("UPSERT", 10, "r", "f", "go", 1),
+    ])
+    drv.replay(more, seq_start=7, seq_end=11)
+    stats = view.advance()
+    assert stats["applied"] is not False
+    assert _view_state(view) == _recompute(source)

@@ -62,8 +62,14 @@ tmp = tempfile.mkdtemp()
 # measurement is core scaling, not bucket-count effects
 t = LakeTable.create(spark, tmp+"/t", schema, ["repo","path","commit"],
                      num_buckets=32, write_mode="mor")
+# SCALE_COMPACT_EVERY / SCALE_VACUUM_EVERY: run the pair in the
+# SUSTAINED configuration (driver-native maintenance in the clock) —
+# maintenance must scale with the cores too, not just the merges
+ce = int(os.environ.get("SCALE_COMPACT_EVERY", "0")) or None
+ve = int(os.environ.get("SCALE_VACUUM_EVERY", "0")) or None
 t0 = time.time()
-ReplayDriver(t, batch_events=(n+batches-1)//batches).replay(ev, seq_start=0, seq_end=n)
+ReplayDriver(t, batch_events=(n+batches-1)//batches,
+             compact_every=ce, vacuum_every=ve).replay(ev, seq_start=0, seq_end=n)
 wall = time.time() - t0
 # north-rule check: final-state equality ACROSS PARALLELISM LEVELS by
 # per-row content sha256 — xor of row hashes is an order-independent
