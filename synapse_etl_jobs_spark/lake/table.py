@@ -889,9 +889,16 @@ class LakeTable:
         a change-event batch a second LakeTable (or any LWW consumer)
         can apply directly.
 
-        Versions that rewrite base files (copy-on-write merges,
-        ``compact``) carry no per-row change record — selecting across
-        one raises; diff two ``read_version`` snapshots for those.
+        Compaction versions are skipped: they are state-preserving
+        (``commit_kind="compact"`` stamp), and the deltas they folded
+        were already collected from the merge versions that appended
+        them — the folded delta FILES stay on disk until ``vacuum``, so
+        the read stays valid; tail ``changes`` before vacuum expires
+        ``since_version`` (same contract as the incremental views).
+        Versions that rewrite base files WITHOUT the stamp (copy-on-write
+        merges, rebucket, legacy compactions) carry no per-row change
+        record — selecting across one raises; diff two ``read_version``
+        snapshots for those.
         """
         m = self.manifest
         to_version = m.table_version if to_version is None else to_version
@@ -910,6 +917,13 @@ class LakeTable:
         new_entries: list[dict[str, Any]] = []
         for v in range(since_version + 1, to_version + 1):
             cur = LakeTable.load(self.spark, self.path, version=v).manifest
+            if cur.commit_kind == "compact":
+                # state-preserving rewrite: the deltas it folded were
+                # already collected from their merge versions above, and
+                # those delta files remain on disk (until vacuum) for
+                # the read below — nothing to collect, just rebase
+                prev = cur
+                continue
             added_paths = entry_paths(cur) - entry_paths(prev)
             added = [
                 e

@@ -81,14 +81,37 @@ def test_changes_rejects_cow_versions(spark, tmp_path):
     t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
     with pytest.raises(ValueError, match="rewrote base files"):
         t.changes(0)
-    # compaction of a MoR table likewise breaks the change record
+
+
+def test_changes_skips_compaction_versions(spark, tmp_path):
+    """Compaction versions are stamped state-preserving and skipped:
+    a consumer tailing changes() across a maintained-ingest window
+    (merge → compact → merge) gets exactly the merge versions' deltas —
+    the folded delta files are still on disk for the read."""
     m = _mk(spark, tmp_path, "m")
     m.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
     m.compact()
-    with pytest.raises(ValueError, match="rewrote base files"):
-        m.changes(0)
-    # but a range strictly BEFORE the compaction still works
-    assert m.changes(0, to_version=1).count() == 1
+    ch = {(r["k"], r["v"]) for r in m.changes(0).collect()}
+    assert ch == {(1, "a")}
+
+    m.merge(_ev(spark, [("UPSERT", 2, 2, "b"), ("DELETE", 3, 1, None)]),
+            batch_id=1)
+    m.compact(drop_tombstones=False)
+    v_after_first_compact = 2
+    ch = {(r["k"], r["_deleted"]) for r in m.changes(v_after_first_compact).collect()}
+    assert ch == {(2, False), (1, True)}
+
+    # replication across the maintained window reproduces the state
+    dst = _mk(spark, tmp_path, "dst")
+    dst.merge(
+        m.changes(0).withColumn(
+            "op", F.when(F.col("_deleted"), "DELETE").otherwise("UPSERT")
+        ),
+        op_col="op", seq_col="_seq", batch_id="sync",
+    )
+    a = m.read().select("k", "v")
+    b = dst.read().select("k", "v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def test_changes_bad_range(spark, tmp_path):
