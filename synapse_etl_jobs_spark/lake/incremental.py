@@ -216,6 +216,11 @@ class IncrementalAggView:
                     f"{prev_spec} -> {cur_spec} (rebucket) — bucket-level "
                     "deltas don't compose across specs; use refresh()"
                 )
+            if cur.commit_kind == "rollback":
+                raise ValueError(
+                    f"source version {v} is a rollback — it reverts rows "
+                    "with no bucket-delta record; use refresh()"
+                )
             if cur.commit_kind == "compact":
                 # compaction is STATE-PRESERVING (same live rows as the
                 # parent; only the file layout changed — tombstone GC

@@ -924,6 +924,17 @@ class LakeTable:
                 # the read below — nothing to collect, just rebase
                 prev = cur
                 continue
+            if cur.commit_kind == "rollback":
+                # state-CHANGING with no per-row record: undoing a merge
+                # REMOVES files, which this walk would read as "nothing
+                # added" — a silently empty changelog for a version that
+                # reverted rows. Consumers must re-sync from a snapshot.
+                raise ValueError(
+                    f"version {v} is a rollback — it reverts rows without "
+                    "a per-row change record; re-sync the consumer from a "
+                    "snapshot (diff read_version, or replica re-merge from "
+                    "changes(0)) and tail from here"
+                )
             added_paths = entry_paths(cur) - entry_paths(prev)
             added = [
                 e
@@ -1961,6 +1972,12 @@ class LakeTable:
             applied_batches=old.applied_batches,
             parent_version=m.table_version,
             props=old.props,
+            # state-CHANGING without a per-row record: a rollback that
+            # undoes a merge removes files, which the version-walking
+            # consumers (changes(), incremental advance()) would read as
+            # "nothing added" — silently missing the reversion. The
+            # stamp lets them fail loudly instead.
+            commit_kind="rollback",
         )
         self._commit_manifest(self.path, new_manifest, self.fs, ref_source=old)
         self.manifest = new_manifest

@@ -185,6 +185,28 @@ def test_cow_window_rejected_and_refresh_recovers(spark, tmp_path):
     assert view.advance()["reason"] == "up_to_date"
 
 
+def test_rollback_window_rejected_and_refresh_recovers(spark, tmp_path):
+    """A rollback reverts source rows with no bucket-delta record:
+    advance() must refuse the window loudly (not silently misapply) and
+    refresh() must recover."""
+    import pytest
+
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(_batch(spark, [("UPSERT", 1, "r", "a", "py", 5)]), batch_id=0)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), source, GROUPS, SUMS)
+    source.merge(_batch(spark, [("UPSERT", 2, "r", "b", "go", 7)]), batch_id=1)
+    source.rollback(1)
+    with pytest.raises(ValueError, match="rollback"):
+        view.advance()
+    view.refresh()
+    source = LakeTable.load(spark, str(tmp_path / "src"))
+    assert _view_state(view) == _recompute(source)
+
+
 def test_null_group_key_accumulates(spark, tmp_path):
     """A NULL group value is one legal group (GROUP BY semantics): the
     advance adjustment join and the refresh anti-join must use

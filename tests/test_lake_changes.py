@@ -114,6 +114,24 @@ def test_changes_skips_compaction_versions(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_changes_rejects_rollback_versions(spark, tmp_path):
+    """A rollback reverts rows while REMOVING files — the version walk
+    would otherwise read it as an empty changelog and a replica would
+    silently diverge. The stamp makes it fail loudly."""
+    t = _mk(spark, tmp_path, "t")
+    t.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    t.merge(_ev(spark, [("UPSERT", 2, 2, "b")]), batch_id=1)
+    t.rollback(1)
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes(0)
+    # a window strictly before the rollback still works
+    assert t.changes(0, to_version=2).count() == 2
+    # ... and tailing from AFTER the rollback works again
+    t.merge(_ev(spark, [("UPSERT", 3, 3, "c")]), batch_id=2)
+    ch = {(r["k"], r["v"]) for r in t.changes(3).collect()}
+    assert ch == {(3, "c")}
+
+
 def test_changes_bad_range(spark, tmp_path):
     t = _mk(spark, tmp_path, "t")
     with pytest.raises(ValueError, match="invalid version range"):
