@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "pivot_events",
     "cdc_patch_merge",
+    "cdc_replay_maintained",
     "lake_rebucket",
     "lake_zorder_scan",
     "minhash_dedup_incremental",

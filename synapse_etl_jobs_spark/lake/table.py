@@ -1254,12 +1254,19 @@ class LakeTable:
         if auto_evolve:
             known = set(m.current_schema().fieldNames())
             envelope = {op_col, seq_col}
+            # retired names (explicitly dropped columns) are NOT
+            # re-added: the drop was a deliberate schema decision, and
+            # re-adding by name would resurrect old files' values —
+            # the batch's values for them are ignored like any other
+            # extra column
+            retired = set(m.props.get("dropped_cols", ()))
             # pass DataType objects, not simpleString(): Spark's
             # StructType.add rejects some short names ("int")
             new_cols = [
                 (f.name, f.dataType)
                 for f in updates.schema.fields
                 if f.name not in known and f.name not in envelope
+                and f.name not in retired
             ]
             if new_cols:
                 self.evolve_schema(add_columns=new_cols)
@@ -2160,6 +2167,7 @@ class LakeTable:
         add_columns: Sequence[tuple[str, str]] = (),
         renames: dict[str, str] | None = None,
         widen_types: "dict[str, Any] | None" = None,
+        drop_columns: Sequence[str] = (),
     ) -> None:
         """Schema evolution without data rewrite (Iceberg semantics):
         ``add_columns`` appends nullable columns; ``renames`` maps existing
@@ -2170,7 +2178,18 @@ class LakeTable:
         cast and never rewritten). Key/bucket columns cannot be widened:
         the bucket assignment hashes the PHYSICAL type, so a widened key
         would scatter a key's new versions into a different bucket than
-        its history. Commits a new table version."""
+        its history. Commits a new table version.
+
+        ``drop_columns`` removes columns from the current schema (Iceberg
+        ``drop column``): no rewrite — old files keep the data but every
+        read projects to the current schema, so it never surfaces; time
+        travel to pre-drop versions still sees it. A dropped NAME is
+        permanently retired (recorded in the ``dropped_cols`` table
+        property): columns here are matched across epochs BY NAME (no
+        Iceberg field ids), so re-adding or renaming onto a dropped name
+        would resurrect the old files' values under the new column —
+        both are refused, in this call and forever after. Key/bucket
+        columns cannot be dropped."""
         from pyspark.sql.types import (
             DataType, DoubleType, FloatType, IntegerType, LongType, ShortType,
         )
@@ -2203,6 +2222,17 @@ class LakeTable:
                     f"for column {c!r}"
                 )
         existing = set(current.fieldNames())
+        drops = list(dict.fromkeys(drop_columns))
+        retired = set(m.props.get("dropped_cols", ())) | set(drops)
+        for c in drops:
+            if c not in existing:
+                raise ValueError(f"drop target {c!r} not in schema")
+            if c in m.key_cols or c in m.bucket_cols:
+                raise ValueError(f"cannot drop key/bucket column {c!r}")
+            if c in renames or c in widen_types:
+                raise ValueError(
+                    f"column {c!r} both dropped and renamed/widened in one call"
+                )
         for src, dst in renames.items():
             if src not in existing:
                 raise ValueError(f"rename source {src!r} not in schema")
@@ -2210,11 +2240,19 @@ class LakeTable:
                 raise ValueError(
                     f"rename target {dst!r} collides with an existing column"
                 )
+            if dst in retired:
+                raise ValueError(
+                    f"rename target {dst!r} is a dropped column name — "
+                    "epochs match columns by name, so reusing it would "
+                    "resurrect old files' values; pick a new name"
+                )
         if len(set(renames.values())) != len(renames):
             raise ValueError("two columns renamed to the same target name")
 
         new_schema = StructType()
         for f in current.fields:
+            if f.name in drops:
+                continue
             new_schema.add(
                 renames.get(f.name, f.name),
                 widen_types.get(f.name, f.dataType),
@@ -2223,6 +2261,12 @@ class LakeTable:
         for name, typ in add_columns:
             if name in new_schema.fieldNames():
                 raise ValueError(f"column {name} already exists")
+            if name in retired:
+                raise ValueError(
+                    f"column name {name!r} was dropped — epochs match "
+                    "columns by name, so re-adding it would resurrect old "
+                    "files' values; pick a new name"
+                )
             if isinstance(typ, str):
                 # accept DDL type strings ("int", "array<string>", ...) —
                 # StructType.add parses only JSON-style names ("integer")
@@ -2245,6 +2289,15 @@ class LakeTable:
 
         key_cols = [renames.get(k, k) for k in m.key_cols]
         bucket_cols = [renames.get(b, b) for b in m.bucket_cols]
+        props = dict(m.props)
+        if drops:
+            props["dropped_cols"] = sorted(retired)
+            if props.get("stats_cols"):
+                # write-time stats for a gone column would fail the next
+                # write (and serve no read)
+                props["stats_cols"] = [
+                    c for c in props["stats_cols"] if c not in drops
+                ]
         new_manifest = Manifest(
             table_version=m.table_version + 1,
             key_cols=key_cols,
@@ -2255,7 +2308,7 @@ class LakeTable:
             buckets=m.buckets,
             applied_batches=m.applied_batches,
             parent_version=m.table_version,
-            props=m.props,
+            props=props,
         )
         self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
         self.manifest = new_manifest

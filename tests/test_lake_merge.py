@@ -420,6 +420,58 @@ def test_evolve_rename_collision_rejected(spark, tmp_table_path):
         t.evolve_schema(renames={"nope": "x"})
 
 
+def test_evolve_drop_column(spark, tmp_table_path):
+    """drop_columns removes a column without rewrite: reads project it
+    away across epochs, merges continue with the new shape, time travel
+    still sees it, and the NAME is permanently retired (re-adding or
+    renaming onto it would resurrect old files' values by name)."""
+    ddl = ("op string, seq long, repo string, path string, commit string, "
+           "lang string, content string")
+    t = LakeTable.create(spark, tmp_table_path, SCHEMA, KEYS, num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("UPSERT", 1, "r", "a.py", "c", "python", "v1")], ddl), batch_id=0)
+    v_before = t.manifest.table_version
+
+    t.evolve_schema(drop_columns=["lang"])
+    assert "lang" not in t.read().columns
+    # old-epoch row still readable, minus the dropped column
+    assert t.read().select("repo", "content").collect()[0]["content"] == "v1"
+    # time travel to the pre-drop version still sees it
+    assert t.read_version(v_before).select("lang").collect()[0][0] == "python"
+
+    # merges continue; a batch still carrying the column is ignored
+    t.merge(spark.createDataFrame(
+        [("UPSERT", 2, "r", "b.py", "c", "go", "v2")], ddl), batch_id=1)
+    assert t.read().count() == 2 and "lang" not in t.read().columns
+
+    # the name is retired
+    with pytest.raises(ValueError, match="dropped"):
+        t.evolve_schema(add_columns=[("lang", "string")])
+    with pytest.raises(ValueError, match="dropped"):
+        t.evolve_schema(renames={"content": "lang"})
+    # auto-evolve must skip the retired name, not crash or resurrect
+    t.merge(spark.createDataFrame(
+        [("UPSERT", 3, "r", "c.py", "c", "rs", "v3")], ddl),
+        batch_id=2, auto_evolve=True)
+    assert "lang" not in t.read().columns
+
+    # guard-rails
+    with pytest.raises(ValueError, match="key/bucket"):
+        t.evolve_schema(drop_columns=["repo"])
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_schema(drop_columns=["nope"])
+    with pytest.raises(ValueError, match="one call"):
+        t.evolve_schema(drop_columns=["content"], renames={"content": "c2"})
+
+    # drop composes with rename of ANOTHER column in the same call
+    t.evolve_schema(drop_columns=["content"], renames={"commit": "sha"})
+    assert set(t.read().columns) == {"repo", "path", "sha"}
+    # fresh handle sees the same schema + retired set
+    t2 = LakeTable.load(spark, tmp_table_path)
+    assert set(t2.read().columns) == {"repo", "path", "sha"}
+    assert set(t2.manifest.props["dropped_cols"]) == {"lang", "content"}
+
+
 def test_sparse_seq_replay_skips_empty_windows(spark, tmp_table_path):
     """A sparse seq space (e.g. epoch-ms sequences) must not commit a
     table version per empty window."""
