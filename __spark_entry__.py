@@ -1246,6 +1246,41 @@ def q_cdc_replay_maintained(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cdc_row_maintenance(spark, sf_dir) -> DataFrame:
+    """Row-level maintenance ops (Iceberg DELETE / UPDATE analogs) issued
+    as first-class CDC merge batches: replay the change stream into a
+    merge-on-read table, then ``delete_where`` purges one event class and
+    ``update_where`` rewrites a column for another — both at per-key
+    seq+1, with exactly-once markers, tombstones, lineage and changelog
+    records exactly like any upstream batch. The string predicates prune
+    the maintenance scans to keys + referenced columns BEFORE the MoR
+    reduce (scan_keys contract). Oracle = the LWW final state with SQL
+    DELETE/UPDATE applied."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    path = _tmpdir("lake_rowmaint_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, ["user_id"], num_buckets=8, write_mode="mor"
+    )
+    ReplayDriver(table, num_batches=3).replay(ev)
+    table.delete_where("event_type = 'click'", batch_id="purge-clicks")
+    table.update_where(
+        "event_type = 'purchase'", {"value": "value + 1"},
+        batch_id="bump-purchases",
+    )
+    return table.read().select("user_id", "event_type", "value")
+
+
 def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
     """Mid-stream schema evolution: merge epoch-0 batch, rename value→val
     and add column k, merge epoch-1 batch with the new shape; epoch-0
@@ -3018,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_to_date": q_filename_to_date,
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "cdc_replay_maintained": q_cdc_replay_maintained,
+        "cdc_row_maintenance": q_cdc_row_maintenance,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
@@ -3877,6 +3913,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ANN_COPY_ORACLE,
         "cdc_lake_merge_mor": _CDC_ORACLE,
         "cdc_replay_maintained": _CDC_ORACLE,
+        "cdc_row_maintenance": f"""
+            WITH final_state AS ({_CDC_ORACLE})
+            SELECT user_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN value + 1
+                        ELSE value END AS value
+            FROM final_state
+            WHERE event_type IS DISTINCT FROM 'click'
+        """,
         "datasource_read": _CDC_ORACLE,
         "datasource_point_scan": """
 WITH ev AS (

@@ -1721,6 +1721,207 @@ class LakeTable:
         finally:
             collapsed.unpersist()
 
+    # -- row-level maintenance: DELETE / UPDATE by predicate ----------------
+
+    def _sql_refs(self, sql_text: Any) -> "list[str] | None":
+        """Top-level column names a SQL expression string references, via
+        Spark's own expression parser (driver-side, no job, no analysis).
+        ``None`` when the input is a Column object, parsing fails, or any
+        reference is not a current-schema column (struct-field paths,
+        typos) — callers then fall back to a full-width read, which is
+        always correct, just unpruned."""
+        if not isinstance(sql_text, str):
+            return None
+        try:
+            expr = (
+                self.spark._jsparkSession.sessionState().sqlParser()
+                .parseExpression(sql_text)
+            )
+            it = expr.references().iterator()
+            refs: set[str] = set()
+            while it.hasNext():
+                refs.add(it.next().name())
+        except Exception:
+            return None
+        fields = set(self.manifest.current_schema().fieldNames())
+        if not refs.issubset(fields):
+            return None
+        return sorted(refs)
+
+    def _matched_view(self, predicate: Any, project: "list[str] | None") -> DataFrame:
+        """Live rows matching ``predicate`` (internal columns kept), over a
+        scan pruned to keys + ``project`` when given."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        m = self.manifest
+        entries = [e for lst in m.buckets.values() for e in lst]
+        view = self._current_view(entries, project=project)
+        if view is None:
+            view = self.spark.createDataFrame(
+                [], self._stored_schema(m.current_schema_id)
+            )
+        live = view.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return live.filter(cond)
+
+    def _next_seq_expr(self, seq: "int | None", have_cseq: bool):
+        """Per-key seq for a maintenance write: stored winner seq + 1, so
+        the write beats everything stored for that key while upstream
+        events with higher seqs still beat it (seq ordering is per-key
+        under LWW — no global sequence needed). On patch tables the
+        per-column seqs can exceed the row ``_seq``, so take the max over
+        the CRDT map too. An explicit ``seq`` pins one global value."""
+        if seq is not None:
+            return F.lit(int(seq)).cast("long")
+        stored = F.coalesce(F.col(SEQ_COL).cast("long"), F.lit(0))
+        if have_cseq:
+            stored = F.greatest(
+                stored,
+                F.coalesce(
+                    F.array_max(F.map_values(F.col(CSEQ_COL))), F.lit(0)
+                ),
+            )
+        return stored + F.lit(1)
+
+    def delete_where(
+        self,
+        predicate: Any,
+        *,
+        seq: "int | None" = None,
+        stream_id: str = "maintenance",
+        batch_id: "int | str | None" = None,
+        **merge_kwargs: Any,
+    ) -> dict[str, Any]:
+        """Row-level ``DELETE FROM table WHERE predicate`` (Iceberg
+        row-delete analog), issued as a first-class CDC event batch.
+
+        Matched keys get a tombstone at per-key seq = stored winner seq
+        + 1 (see ``_next_seq_expr``): the delete wins over everything
+        stored, while an upstream change event with a HIGHER seq still
+        wins over the delete — a post-delete upsert legitimately
+        recreates the key, exactly the CDC stream-order semantics (and a
+        GDPR-style purge that must also stop the upstream is the
+        caller's pipeline concern, not the table's). Pass ``seq`` to pin
+        one explicit global seq instead.
+
+        Because it runs as a normal ``merge`` (a merge version, not a
+        rewrite stamp), everything downstream composes for free:
+        tombstones keep it order-insensitive against redelivered stale
+        events, ``batch_id`` gives exactly-once, lineage/metrics rows are
+        emitted, and ``changes()`` / incremental-view consumers see
+        ordinary per-row change records. On patch-mode tables the delete
+        routes through ``merge_patches`` so the per-column CRDT delete
+        seq is recorded (a stale partial patch cannot resurrect the key).
+
+        Scan cost: ONE predicate scan of the live view, O(table) like any
+        predicate delete, with the scan pruned to keys + the predicate's
+        referenced columns BEFORE the MoR reduce when a string predicate
+        parses cleanly (same contract as ``scan_keys(columns=)``) — the
+        wide content column never leaves parquet for a delete on
+        metadata columns. The tombstone batch itself is O(matched keys).
+        A predicate matching nothing still commits the batch marker
+        (exactly-once bookkeeping), writing zero files.
+        """
+        matched = self._matched_view(predicate, self._sql_refs(predicate))
+        seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
+        batch = matched.select(
+            *self.manifest.key_cols,
+            F.lit("DELETE").alias("op"),
+            seq_expr.alias("seq"),
+        )
+        if self._patch_enabled:
+            return self.merge_patches(
+                batch, stream_id=stream_id, batch_id=batch_id, **merge_kwargs
+            )
+        # the live view is already LWW-reduced: one row per key
+        merge_kwargs.setdefault("pre_reduced", True)
+        return self.merge(
+            batch, op_col="op", seq_col="seq",
+            stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
+        )
+
+    def update_where(
+        self,
+        predicate: Any,
+        set_exprs: "dict[str, Any]",
+        *,
+        seq: "int | None" = None,
+        stream_id: str = "maintenance",
+        batch_id: "int | str | None" = None,
+        **merge_kwargs: Any,
+    ) -> dict[str, Any]:
+        """Row-level ``UPDATE table SET col = expr, ... WHERE predicate``.
+
+        ``set_exprs`` maps column name → SQL expression string (or
+        Column) evaluated over the matched row, e.g. ``{"lang": "'en'",
+        "stars": "stars + 1"}``. Key/bucket columns cannot be updated —
+        under key-addressed storage that is a delete + insert of two
+        different keys, which the caller must express explicitly.
+
+        Same composition story as ``delete_where`` (per-key seq + 1,
+        normal merge ⇒ exactly-once / lineage / changelog all work). On
+        patch-mode tables only the SET columns are written — a
+        partial-column patch, O(matched × set columns) bytes (the Paimon
+        partial-update path) — and the scan is pruned to keys + the
+        predicate's and set expressions' referenced columns. Plain
+        tables write the full updated row (full-row storage needs every
+        column), so their predicate scan is full-width by necessity.
+        """
+        m = self.manifest
+        fields = set(m.current_schema().fieldNames())
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET column")
+        for c in set_exprs:
+            if c not in fields:
+                raise ValueError(f"SET target {c!r} not in the table schema")
+            if c in m.key_cols or c in m.bucket_cols:
+                raise ValueError(
+                    f"cannot update key/bucket column {c!r} — that is a "
+                    "delete + insert of a different key; do it explicitly"
+                )
+
+        def as_expr(v: Any):
+            return F.expr(v) if isinstance(v, str) else v
+
+        if self._patch_enabled:
+            # prune to what the patch needs: predicate refs + set-expr refs
+            need: "set[str] | None" = set()
+            for text in (predicate, *set_exprs.values()):
+                refs = self._sql_refs(text)
+                if refs is None:
+                    need = None
+                    break
+                need.update(refs)
+            project = sorted(need | set(set_exprs)) if need is not None else None
+            matched = self._matched_view(predicate, project)
+            seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
+            batch = matched.select(
+                *m.key_cols,
+                *[as_expr(v).alias(c) for c, v in set_exprs.items()],
+                F.lit("PATCH").alias("op"),
+                seq_expr.alias("seq"),
+                F.array(*[F.lit(c) for c in set_exprs]).alias("set_cols"),
+            )
+            return self.merge_patches(
+                batch, stream_id=stream_id, batch_id=batch_id, **merge_kwargs
+            )
+
+        matched = self._matched_view(predicate, None)
+        seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
+        user_cols = [f.name for f in m.current_schema().fields]
+        batch = matched.select(
+            *[
+                (as_expr(set_exprs[c]).cast(m.current_schema()[c].dataType)
+                 if c in set_exprs else F.col(c)).alias(c)
+                for c in user_cols
+            ],
+            F.lit("UPSERT").alias("op"),
+            seq_expr.alias("seq"),
+        )
+        merge_kwargs.setdefault("pre_reduced", True)
+        return self.merge(
+            batch, op_col="op", seq_col="seq",
+            stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
+        )
+
     def compact(
         self,
         *,

@@ -1,0 +1,234 @@
+"""Row-level maintenance ops: DELETE WHERE / UPDATE WHERE
+(LakeTable.delete_where / update_where).
+
+Iceberg row-level-delete / update analogs, issued as first-class CDC
+merge batches so exactly-once markers, tombstone order-insensitivity,
+lineage, and changelog consumers all compose. The reference has no
+predicate maintenance surface (its Glue jobs only ever apply upstream
+change streams); semantics here are pinned against SQL UPDATE/DELETE
+applied to the LWW final state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+
+SCHEMA = (
+    StructType()
+    .add("repo", "string")
+    .add("path", "string")
+    .add("lang", "string")
+    .add("stars", "long")
+    .add("content", "string")
+)
+KEYS = ["repo", "path"]
+
+ROWS = [
+    ("r1", "a.py", "python", 10, "print(1)"),
+    ("r1", "b.rs", "rust", 5, "fn main() {}"),
+    ("r2", "c.py", "python", 7, "print(2)"),
+    ("r2", "d.go", "go", 3, "package main"),
+    ("r3", "e.py", "python", 0, "pass"),
+]
+
+
+def _seed(spark, path, mode="mor"):
+    t = LakeTable.create(spark, path, SCHEMA, KEYS, num_buckets=4,
+                         write_mode=mode)
+    ev = spark.createDataFrame(
+        [(*r, "UPSERT", i + 1) for i, r in enumerate(ROWS)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(ev, batch_id=0)
+    return t
+
+
+def _state(t):
+    return {
+        (r["repo"], r["path"]): (r["lang"], r["stars"], r["content"])
+        for r in t.read().collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_where_basic(spark, tmp_path, mode):
+    t = _seed(spark, str(tmp_path / mode), mode)
+    stats = t.delete_where("lang = 'python'")
+    assert stats["applied"]
+    assert stats["source_events"] == 3  # matched keys = tombstones written
+    state = _state(t)
+    assert set(state) == {("r1", "b.rs"), ("r2", "d.go")}
+    # tombstones stored (order-insensitivity), hidden from reads
+    internal = t.read(include_internal=True)
+    assert internal.filter(F.col("_deleted")).count() == 3
+
+
+def test_delete_where_is_a_cdc_event(spark, tmp_path):
+    """Per-key seq+1: the delete beats everything stored; a LATER upstream
+    event recreates the key; a STALE pre-delete event cannot resurrect."""
+    t = _seed(spark, str(tmp_path / "t"))
+    t.delete_where("repo = 'r1'")
+    assert set(_state(t)) == {("r2", "c.py"), ("r2", "d.go"), ("r3", "e.py")}
+    late = spark.createDataFrame(
+        [("r1", "a.py", "python", 99, "print(3)", "UPSERT", 100)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    stale = spark.createDataFrame(
+        [("r1", "b.rs", "rust", 1, "old", "UPSERT", 1)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(late, batch_id=10)
+    t.merge(stale, batch_id=11)
+    state = _state(t)
+    assert state[("r1", "a.py")] == ("python", 99, "print(3)")  # recreated
+    assert ("r1", "b.rs") not in state  # stale event lost to the tombstone
+
+
+def test_delete_where_exactly_once_and_empty_match(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    s1 = t.delete_where("stars > 100")  # matches nothing
+    assert s1["applied"] and s1["source_events"] == 0
+    assert len(_state(t)) == 5
+    s2 = t.delete_where("lang = 'go'", batch_id="purge-go")
+    assert s2["applied"] and s2["source_events"] == 1
+    s3 = t.delete_where("lang = 'go'", batch_id="purge-go")  # redelivery
+    assert not s3["applied"] and s3["reason"] == "batch_already_applied"
+
+
+def test_delete_where_scan_pruning(spark, tmp_path):
+    """A string predicate over slim columns prunes the scan to keys +
+    referenced columns before the MoR reduce — content never read."""
+    t = _seed(spark, str(tmp_path / "t"))
+    assert t._sql_refs("lang = 'python' AND stars > 2") == ["lang", "stars"]
+    view = t._matched_view("lang = 'python'", t._sql_refs("lang = 'python'"))
+    assert "content" not in view.columns
+    assert set(KEYS).issubset(view.columns)
+    # Column predicates / unparseable refs fall back to full width
+    assert t._sql_refs(F.col("lang") == "python") is None
+    assert t._sql_refs("nope = 1") is None
+    t.delete_where(F.col("lang") == "go")
+    assert ("r2", "d.go") not in _state(t)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_where_basic(spark, tmp_path, mode):
+    t = _seed(spark, str(tmp_path / mode), mode)
+    stats = t.update_where(
+        "lang = 'python'",
+        {"lang": "'py3'", "stars": "stars + 1", "content": "upper(content)"},
+    )
+    assert stats["applied"] and stats["source_events"] == 3
+    state = _state(t)
+    assert state[("r1", "a.py")] == ("py3", 11, "PRINT(1)")
+    assert state[("r3", "e.py")] == ("py3", 1, "PASS")
+    assert state[("r1", "b.rs")] == ("rust", 5, "fn main() {}")  # untouched
+
+
+def test_update_where_validation(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="key/bucket"):
+        t.update_where("true", {"repo": "'x'"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.update_where("true", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one SET"):
+        t.update_where("true", {})
+
+
+def test_update_where_loses_to_later_event(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.update_where("repo = 'r3'", {"stars": "1000"})
+    late = spark.createDataFrame(
+        [("r3", "e.py", "python", 2, "pass", "UPSERT", 50)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(late, batch_id=5)
+    assert _state(t)[("r3", "e.py")] == ("python", 2, "pass")
+
+
+def test_changes_consumer_sees_row_maintenance(spark, tmp_path):
+    """delete/update are merge versions with per-row records: a replica
+    tailing changes() reproduces the post-maintenance state."""
+    src = _seed(spark, str(tmp_path / "src"))
+    v0 = src.manifest.table_version
+    src.delete_where("lang = 'go'")
+    src.update_where("repo = 'r1'", {"stars": "stars * 2"})
+    ch = src.changes(v0)
+    assert ch.filter(F.col("_deleted")).count() == 1
+    replica = LakeTable.create(
+        spark, str(tmp_path / "rep"), SCHEMA, KEYS, num_buckets=4,
+        write_mode="mor",
+    )
+    replica.merge(src.changes(0).withColumn("op", F.when(
+        F.col("_deleted"), F.lit("DELETE")).otherwise(F.lit("UPSERT"))
+    ).withColumn("seq", F.col("_seq")), batch_id="sync")
+    assert _state(replica) == _state(src)
+
+
+def _seed_patch(spark, path):
+    """A patch-enabled table (per-column CRDT state)."""
+    t = LakeTable.create(spark, path, SCHEMA, KEYS, num_buckets=4,
+                         write_mode="mor")
+    ev = spark.createDataFrame(
+        [(*r, "UPSERT", i + 1, None) for i, r in enumerate(ROWS)],
+        "repo string, path string, lang string, stars long, content string, "
+        "op string, seq long, set_cols array<string>",
+    )
+    t.merge_patches(ev, batch_id=0)
+    assert t._patch_enabled
+    return t
+
+
+def test_update_where_patch_table_writes_only_set_columns(spark, tmp_path):
+    t = _seed_patch(spark, str(tmp_path / "t"))
+    t.update_where("lang = 'python'", {"stars": "stars + 1"})
+    state = _state(t)
+    assert state[("r1", "a.py")] == ("python", 11, "print(1)")
+    # a later upstream patch to ANOTHER column composes per-column
+    patch = spark.createDataFrame(
+        [("r1", "a.py", None, None, "new", "PATCH", 200, ["content"])],
+        "repo string, path string, lang string, stars long, content string, "
+        "op string, seq long, set_cols array<string>",
+    )
+    t.merge_patches(patch, batch_id=2)
+    assert _state(t)[("r1", "a.py")] == ("python", 11, "new")
+
+
+def test_delete_where_patch_table_records_crdt_delete(spark, tmp_path):
+    """On a patch table the delete must set the CRDT delete seq: a stale
+    partial patch (seq below the delete) cannot resurrect the key; a
+    fresh patch (seq above) legitimately recreates it."""
+    t = _seed_patch(spark, str(tmp_path / "t"))
+    t.delete_where("repo = 'r1'")
+    assert ("r1", "a.py") not in _state(t)
+    stale = spark.createDataFrame(
+        [("r1", "a.py", None, 7, None, "PATCH", 1, ["stars"])],
+        "repo string, path string, lang string, stars long, content string, "
+        "op string, seq long, set_cols array<string>",
+    )
+    t.merge_patches(stale, batch_id=3)
+    assert ("r1", "a.py") not in _state(t)  # stale patch stays dead
+    fresh = spark.createDataFrame(
+        [("r1", "a.py", None, 8, None, "PATCH", 500, ["stars"])],
+        "repo string, path string, lang string, stars long, content string, "
+        "op string, seq long, set_cols array<string>",
+    )
+    t.merge_patches(fresh, batch_id=4)
+    assert _state(t)[("r1", "a.py")] == (None, 8, None)  # recreated
+
+
+def test_update_where_explicit_seq_pins_global_order(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.update_where("repo = 'r2'", {"stars": "0"}, seq=1000)
+    late_but_below = spark.createDataFrame(
+        [("r2", "c.py", "python", 7, "print(2)", "UPSERT", 999)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(late_but_below, batch_id=9)
+    assert _state(t)[("r2", "c.py")][1] == 0  # seq=1000 still wins
