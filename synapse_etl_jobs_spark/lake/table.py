@@ -1748,19 +1748,135 @@ class LakeTable:
             return None
         return sorted(refs)
 
-    def _matched_view(self, predicate: Any, project: "list[str] | None") -> DataFrame:
+    _CMP_FLIP = {
+        "LessThan": "GreaterThan",
+        "LessThanOrEqual": "GreaterThanOrEqual",
+        "GreaterThan": "LessThan",
+        "GreaterThanOrEqual": "LessThanOrEqual",
+        "EqualTo": "EqualTo",
+    }
+
+    def _predicate_bounds(self, sql_text: Any) -> "dict[str, tuple[Any, Any]]":
+        """Best-effort column range bounds from the top-level AND-conjuncts
+        of a SQL predicate string (driver-side parse, no job) — the input
+        to manifest-level file skipping (``_range_pruned_entries``).
+
+        Soundness: every returned bound is implied by the predicate (a
+        conjunct can only narrow the match set), so pruning with them
+        keeps a SUPERSET of matching files; the exact predicate is still
+        applied to the surviving rows. Conjuncts that aren't a plain
+        ``col <cmp> literal`` (ORs, function calls, struct paths,
+        non-schema names, literals whose Python type doesn't match the
+        column — e.g. a string literal against an int column, which
+        would make the stats comparison meaningless) contribute nothing.
+        Returns {} when nothing is derivable — callers skip pruning."""
+        from pyspark.sql.types import (
+            ByteType, DoubleType, FloatType, IntegerType, LongType,
+            ShortType, StringType,
+        )
+
+        if not isinstance(sql_text, str):
+            return {}
+        try:
+            expr = (
+                self.spark._jsparkSession.sessionState().sqlParser()
+                .parseExpression(sql_text)
+            )
+            conjuncts = []
+            stack = [expr]
+            while stack:
+                e = stack.pop()
+                if e.getClass().getSimpleName() == "And":
+                    stack.append(e.left())
+                    stack.append(e.right())
+                else:
+                    conjuncts.append(e)
+
+            fields = {
+                f.name: f.dataType
+                for f in self.manifest.current_schema().fields
+            }
+            int_types = (ByteType, ShortType, IntegerType, LongType)
+            float_types = (FloatType, DoubleType)
+
+            def lit_value(lit: Any) -> Any:
+                v = lit.value()
+                if isinstance(v, (bool, int, float, str)):
+                    return v
+                if v is not None and "UTF8String" in v.getClass().getName():
+                    return str(v)
+                return None  # decimals/intervals/binary: skip
+
+            bounds: dict[str, tuple[Any, Any]] = {}
+            for e in conjuncts:
+                op = e.getClass().getSimpleName()
+                if op not in self._CMP_FLIP:
+                    continue
+                left, right = e.left(), e.right()
+
+                def kind(x):
+                    return x.getClass().getSimpleName()
+
+                if kind(left) == "UnresolvedAttribute" and kind(right) == "Literal":
+                    col, lit = left.name(), right
+                elif kind(right) == "UnresolvedAttribute" and kind(left) == "Literal":
+                    col, lit, op = right.name(), left, self._CMP_FLIP[op]
+                else:
+                    continue
+                if col not in fields:
+                    continue
+                v = lit_value(lit)
+                if v is None or isinstance(v, bool):
+                    continue
+                t = fields[col]
+                ok = (
+                    (isinstance(v, int) and isinstance(t, int_types))
+                    or (isinstance(v, (int, float))
+                        and isinstance(t, float_types))
+                    or (isinstance(v, str) and isinstance(t, StringType))
+                )
+                if not ok:
+                    continue
+                lo, hi = bounds.get(col, (None, None))
+                if op == "EqualTo":
+                    lo = v if lo is None else max(lo, v)
+                    hi = v if hi is None else min(hi, v)
+                elif op in ("GreaterThan", "GreaterThanOrEqual"):
+                    # strictness ignored: an inclusive bound keeps a
+                    # superset of files — sound
+                    lo = v if lo is None else max(lo, v)
+                else:  # LessThan / LessThanOrEqual
+                    hi = v if hi is None else min(hi, v)
+                bounds[col] = (lo, hi)
+            return bounds
+        except Exception:
+            return {}
+
+    def _matched_view(
+        self, predicate: Any, project: "list[str] | None"
+    ) -> "tuple[DataFrame, dict[str, int] | None]":
         """Live rows matching ``predicate`` (internal columns kept), over a
-        scan pruned to keys + ``project`` when given."""
+        scan pruned two ways: to keys + ``project`` columns when given,
+        and to the manifest files whose recorded [min, max] stats can
+        intersect the predicate's derivable range bounds (plan-time file
+        skipping, same machinery as ``scan_range`` — sound superset; the
+        exact predicate still applies). Returns (view, pruning stats or
+        None when no bounds were derivable)."""
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         m = self.manifest
-        entries = [e for lst in m.buckets.values() for e in lst]
+        bounds = self._predicate_bounds(predicate)
+        if bounds:
+            entries, prune_stats = self._range_pruned_entries(bounds)
+        else:
+            entries = [e for lst in m.buckets.values() for e in lst]
+            prune_stats = None
         view = self._current_view(entries, project=project)
         if view is None:
             view = self.spark.createDataFrame(
                 [], self._stored_schema(m.current_schema_id)
             )
         live = view.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        return live.filter(cond)
+        return live.filter(cond), prune_stats
 
     def _next_seq_expr(self, seq: "int | None", have_cseq: bool):
         """Per-key seq for a maintenance write: stored winner seq + 1, so
@@ -1820,7 +1936,9 @@ class LakeTable:
         A predicate matching nothing still commits the batch marker
         (exactly-once bookkeeping), writing zero files.
         """
-        matched = self._matched_view(predicate, self._sql_refs(predicate))
+        matched, prune_stats = self._matched_view(
+            predicate, self._sql_refs(predicate)
+        )
         seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
         batch = matched.select(
             *self.manifest.key_cols,
@@ -1828,15 +1946,19 @@ class LakeTable:
             seq_expr.alias("seq"),
         )
         if self._patch_enabled:
-            return self.merge_patches(
+            res = self.merge_patches(
                 batch, stream_id=stream_id, batch_id=batch_id, **merge_kwargs
             )
-        # the live view is already LWW-reduced: one row per key
-        merge_kwargs.setdefault("pre_reduced", True)
-        return self.merge(
-            batch, op_col="op", seq_col="seq",
-            stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
-        )
+        else:
+            # the live view is already LWW-reduced: one row per key
+            merge_kwargs.setdefault("pre_reduced", True)
+            res = self.merge(
+                batch, op_col="op", seq_col="seq",
+                stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
+            )
+        if prune_stats is not None:
+            res["scan_pruning"] = prune_stats
+        return res
 
     def update_where(
         self,
@@ -1891,7 +2013,7 @@ class LakeTable:
                     break
                 need.update(refs)
             project = sorted(need | set(set_exprs)) if need is not None else None
-            matched = self._matched_view(predicate, project)
+            matched, prune_stats = self._matched_view(predicate, project)
             seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
             batch = matched.select(
                 *m.key_cols,
@@ -1900,11 +2022,14 @@ class LakeTable:
                 seq_expr.alias("seq"),
                 F.array(*[F.lit(c) for c in set_exprs]).alias("set_cols"),
             )
-            return self.merge_patches(
+            res = self.merge_patches(
                 batch, stream_id=stream_id, batch_id=batch_id, **merge_kwargs
             )
+            if prune_stats is not None:
+                res["scan_pruning"] = prune_stats
+            return res
 
-        matched = self._matched_view(predicate, None)
+        matched, prune_stats = self._matched_view(predicate, None)
         seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
         user_cols = [f.name for f in m.current_schema().fields]
         batch = matched.select(
@@ -1917,10 +2042,13 @@ class LakeTable:
             seq_expr.alias("seq"),
         )
         merge_kwargs.setdefault("pre_reduced", True)
-        return self.merge(
+        res = self.merge(
             batch, op_col="op", seq_col="seq",
             stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
         )
+        if prune_stats is not None:
+            res["scan_pruning"] = prune_stats
+        return res
 
     def compact(
         self,

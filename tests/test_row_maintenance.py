@@ -105,7 +105,7 @@ def test_delete_where_scan_pruning(spark, tmp_path):
     referenced columns before the MoR reduce — content never read."""
     t = _seed(spark, str(tmp_path / "t"))
     assert t._sql_refs("lang = 'python' AND stars > 2") == ["lang", "stars"]
-    view = t._matched_view("lang = 'python'", t._sql_refs("lang = 'python'"))
+    view, _ = t._matched_view("lang = 'python'", t._sql_refs("lang = 'python'"))
     assert "content" not in view.columns
     assert set(KEYS).issubset(view.columns)
     # Column predicates / unparseable refs fall back to full width
@@ -232,3 +232,58 @@ def test_update_where_explicit_seq_pins_global_order(spark, tmp_path):
     )
     t.merge(late_but_below, batch_id=9)
     assert _state(t)[("r2", "c.py")][1] == 0  # seq=1000 still wins
+
+
+# -- manifest-level file skipping for maintenance scans ---------------------
+
+def test_predicate_bounds_derivation(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    b = t._predicate_bounds("stars >= 3 AND stars < 9 AND lang = 'python'")
+    assert b == {"stars": (3, 9), "lang": ("python", "python")}
+    # flipped literal-first comparisons
+    assert t._predicate_bounds("5 <= stars") == {"stars": (5, None)}
+    assert t._predicate_bounds("10 > stars") == {"stars": (None, 10)}
+    # OR at the top level: no conjunct bounds (sound: nothing derivable)
+    assert t._predicate_bounds("stars > 3 OR lang = 'go'") == {}
+    # but an AND above an OR still yields the AND-side bound
+    assert t._predicate_bounds(
+        "stars > 3 AND (lang = 'go' OR lang = 'rust')"
+    ) == {"stars": (3, None)}
+    # non-schema names, type mismatches, Columns: nothing
+    assert t._predicate_bounds("nope = 1") == {}
+    assert t._predicate_bounds("stars = 'high'") == {}  # str vs long
+    assert t._predicate_bounds(F.col("stars") > 3) == {}
+    # contradictory equality conjuncts intersect (empty range prunes all)
+    lo, hi = t._predicate_bounds("stars = 3 AND stars = 5")["stars"]
+    assert lo > hi
+
+
+def test_delete_where_skips_files_by_stats(spark, tmp_path):
+    """After compact(sort_cols=...) records per-file [min,max], a ranged
+    delete prunes the maintenance scan at the manifest level and still
+    produces the exact SQL DELETE result."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=2,
+        write_mode="mor", stats_cols=["stars"],
+    )
+    ev = spark.createDataFrame(
+        [(f"r{i}", f"f{i}.py", "python", i, f"c{i}", "UPSERT", i)
+         for i in range(200)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(ev, batch_id=0)
+    t.compact(sort_cols=["stars"], target_file_mb=0.001)
+    files_total = sum(len(v) for v in t.manifest.buckets.values())
+    assert files_total > 2  # several base files per bucket, stars-sorted
+
+    s = t.delete_where("stars >= 190")
+    assert s["source_events"] == 10
+    pr = s.get("scan_pruning")
+    assert pr is not None and pr["files_kept"] < pr["files_total"]
+    assert t.read().count() == 190
+    # correctness unchanged when nothing is derivable (no pruning);
+    # stars >= 195 is already deleted, so only stars < 5 matches
+    s2 = t.update_where("stars < 5 OR stars >= 195", {"lang": "'hot'"})
+    assert "scan_pruning" not in s2 and s2["source_events"] == 5
+    assert t.read().filter("lang = 'hot'").count() == 5
