@@ -1247,10 +1247,12 @@ class LakeTable:
             raise ValueError(f"updates missing key columns: {missing}")
 
         # auto-evolve: batch columns the table has never seen become new
-        # nullable columns BEFORE the merge (additive-only — renames stay
-        # an explicit evolve_schema call, since rename detection from
-        # data is guesswork; mergeSchema-on-write semantics). The evolve
-        # commits its own manifest version; the merge then commits on top.
+        # nullable columns, and known payload columns arriving at a
+        # safely-wider type are widened, BEFORE the merge (adds + widens
+        # only — renames stay an explicit evolve_schema call, since
+        # rename detection from data is guesswork; mergeSchema-on-write
+        # semantics). The evolve commits its own manifest version; the
+        # merge then commits on top.
         if auto_evolve:
             known = set(m.current_schema().fieldNames())
             envelope = {op_col, seq_col}
@@ -1268,8 +1270,24 @@ class LakeTable:
                 if f.name not in known and f.name not in envelope
                 and f.name not in retired
             ]
-            if new_cols:
-                self.evolve_schema(add_columns=new_cols)
+            # type drift on KNOWN payload columns: a batch carrying a
+            # safely-wider type (int→bigint, float→double) widens the
+            # table column first — without this the normalization cast
+            # below silently narrows, and an out-of-range value wraps
+            # (non-ANSI cast), corrupting data. Key/bucket columns stay
+            # at their physical type (bucket assignment hashes it); a
+            # non-widening mismatch is left to the cast, as before.
+            cur_schema = m.current_schema()
+            widen = {}
+            for f in updates.schema.fields:
+                if (f.name in envelope or f.name not in known
+                        or f.name in m.key_cols or f.name in m.bucket_cols):
+                    continue
+                src = cur_schema[f.name].dataType.simpleString()
+                if f.dataType.simpleString() in self._WIDENINGS.get(src, ()):
+                    widen[f.name] = f.dataType
+            if new_cols or widen:
+                self.evolve_schema(add_columns=new_cols, widen_types=widen)
                 m = self.manifest
 
         # a batch carrying per-column CRDT state (merge_patches) flips the

@@ -185,3 +185,44 @@ def test_merge_auto_evolve_adds_new_columns(spark, tmp_path):
     assert t.read().filter("k = 3").first()["stars"] is None
     # op/seq envelope columns are never promoted to table columns
     assert {"op", "seq"}.isdisjoint(set(t.read().columns))
+
+
+def test_merge_auto_evolve_widens_drifted_types(spark, tmp_path):
+    """A batch carrying a safely-wider type for a KNOWN payload column
+    widens the table column before the merge — without it the
+    normalization cast silently narrows and an out-of-range value wraps
+    (non-ANSI cast)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        StructType().add("k", "long").add("n", "integer").add("f", "float"),
+        ["k"], num_buckets=4, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([("UPSERT", 1, 1, 5, 1.5)],
+                              "op string, seq long, k long, n int, f float"),
+        batch_id=0,
+    )
+    big = 2**40  # far beyond int32 — would wrap under the narrowing cast
+    drifted = spark.createDataFrame(
+        [("UPSERT", 2, 2, big, 2.5)],
+        "op string, seq long, k long, n bigint, f double",
+    )
+    t.merge(drifted, batch_id=1, auto_evolve=True)
+    sch = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+    assert sch["n"] == "bigint" and sch["f"] == "double"
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got == {1: 5, 2: big}  # old epoch-0 row reads at the wide type
+    # key columns are NEVER widened (bucket hashes the physical type):
+    # a long-typed key batch against a long key is fine, but an int key
+    # table refuses via the explicit evolve path only — auto path skips
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"),
+        StructType().add("k", "integer").add("v", "string"),
+        ["k"], num_buckets=4, write_mode="mor",
+    )
+    t2.merge(
+        spark.createDataFrame([("UPSERT", 1, 1, "a")],
+                              "op string, seq long, k bigint, v string"),
+        batch_id=0, auto_evolve=True,
+    )
+    assert t2.manifest.current_schema()["k"].dataType.simpleString() == "int"
