@@ -1172,6 +1172,31 @@ class LakeTable:
             .drop(*INTERNAL_COLS)
         )
 
+    def read_where(self, predicate: "str") -> DataFrame:
+        """``read().filter(predicate)`` with plan-time file skipping: range
+        bounds derived from the predicate's AND-conjuncts
+        (``_predicate_bounds`` — sound superset) drive the same manifest
+        [min, max] pruning as ``scan_range``, so a ranged read over a
+        sorted/z-ordered table touches only intersecting files; the exact
+        predicate still applies to the surviving rows. Predicates with no
+        derivable bounds degrade to a plain filtered read."""
+        cond = F.expr(predicate)
+        bounds = self._predicate_bounds(predicate)
+        if bounds:
+            entries, _ = self._range_pruned_entries(bounds)
+        else:
+            entries = [e for lst in self.manifest.buckets.values() for e in lst]
+        df = self._current_view(entries)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], self.manifest.current_schema()
+            ).filter(cond)
+        return (
+            df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(*INTERNAL_COLS)
+            .filter(cond)
+        )
+
     # ------------------------------------------------------------------ merge
 
     def is_batch_applied(self, stream_id: str, batch_id: int | str) -> bool:

@@ -287,3 +287,27 @@ def test_delete_where_skips_files_by_stats(spark, tmp_path):
     s2 = t.update_where("stars < 5 OR stars >= 195", {"lang": "'hot'"})
     assert "scan_pruning" not in s2 and s2["source_events"] == 5
     assert t.read().filter("lang = 'hot'").count() == 5
+
+
+def test_read_where_matches_plain_filter_and_prunes(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=2,
+        write_mode="mor", stats_cols=["stars"],
+    )
+    ev = spark.createDataFrame(
+        [(f"r{i}", f"f{i}.py", "python", i, f"c{i}", "UPSERT", i)
+         for i in range(100)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(ev, batch_id=0)
+    t.compact(sort_cols=["stars"], target_file_mb=0.001)
+    pred = "stars >= 90 AND lang = 'python'"
+    a = t.read_where(pred)
+    b = t.read().filter(pred)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 10
+    kept, st = t._range_pruned_entries(t._predicate_bounds(pred))
+    assert st["files_kept"] < st["files_total"]
+    # no derivable bounds → still exact
+    assert t.read_where("stars >= 90 OR stars < 2").count() == 12
