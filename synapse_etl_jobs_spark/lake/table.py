@@ -1172,6 +1172,47 @@ class LakeTable:
             .drop(*INTERNAL_COLS)
         )
 
+    def merge_with_retry(
+        self,
+        updates: DataFrame,
+        *,
+        max_retries: int = 3,
+        patches: bool = False,
+        **merge_kwargs: Any,
+    ) -> dict[str, Any]:
+        """Optimistic-concurrency wrapper for multi-writer merges: run
+        ``merge`` (or ``merge_patches`` with ``patches=True``) and, on a
+        ``ConcurrentWriteError`` — another writer committed between this
+        handle's load and its commit — reload the manifest and retry, up
+        to ``max_retries`` times.
+
+        The retry is always SAFE, not merely convenient: batches are
+        order-insensitive (LWW seqs + tombstones + per-column CRDT state
+        on patch tables), so applying this batch after the rival's
+        commit converges to the same state as any other interleaving,
+        and the batch marker dedups a batch whose commit DID land but
+        whose response was lost. Each attempt re-stages the batch
+        (O(batch) work — the loser's orphaned staging files are
+        unreferenced and reclaimed by ``vacuum``); the arbiter
+        guarantees no attempt can clobber a rival's committed state.
+        Raises the last ``ConcurrentWriteError`` when retries are
+        exhausted (sustained contention: callers should coordinate
+        writers rather than spin)."""
+        if max_retries < 0:
+            raise ValueError("max_retries must be >= 0")
+        op = self.merge_patches if patches else self.merge
+        for attempt in range(max_retries + 1):
+            try:
+                return op(updates, **merge_kwargs)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                # adopt the rival's commit as the new parent
+                self.manifest = LakeTable.load(
+                    self.spark, self.path
+                ).manifest
+        raise AssertionError("unreachable")
+
     def read_where(self, predicate: "str") -> DataFrame:
         """``read().filter(predicate)`` with plan-time file skipping: range
         bounds derived from the predicate's AND-conjuncts

@@ -249,3 +249,62 @@ def test_losing_committer_cannot_clobber_winner_side_files(tmp_path):
     assert committed.props["winner"] == "first"
     assert [e["path"] for e in committed.buckets["0"]] \
         == ["data/first.parquet"]
+
+
+def test_merge_with_retry_recovers_from_rival_commit(spark, tmp_path):
+    """Two handles loaded at the same version: the second's plain merge
+    conflicts; merge_with_retry rebases onto the rival's commit and
+    lands, losing neither batch."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("k", "long").add("v", "string")
+    path = str(tmp_path / "t")
+    h1 = LakeTable.create(spark, path, schema, ["k"], num_buckets=2,
+                          write_mode="mor")
+    h2 = LakeTable.load(spark, path)
+
+    def _ev(rows):
+        return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+    h1.merge(_ev([("UPSERT", 1, 1, "a")]), batch_id=0)
+    with pytest.raises(ConcurrentWriteError):
+        h2.merge(_ev([("UPSERT", 2, 2, "b")]), batch_id=1)
+    s = h2.merge_with_retry(_ev([("UPSERT", 2, 2, "b")]), batch_id=1)
+    assert s["applied"]
+    got = {(r["k"], r["v"]) for r in LakeTable.load(spark, path).read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # marker dedup still applies through the wrapper
+    s2 = h2.merge_with_retry(_ev([("UPSERT", 3, 2, "b2")]), batch_id=1)
+    assert not s2["applied"]
+
+
+def test_merge_with_retry_exhausts_and_raises(spark, tmp_path):
+    """Sustained contention (a rival commits before every attempt) ends
+    in the last ConcurrentWriteError, not an infinite spin."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("k", "long").add("v", "string")
+    path = str(tmp_path / "t")
+    h1 = LakeTable.create(spark, path, schema, ["k"], num_buckets=2,
+                          write_mode="mor")
+    h2 = LakeTable.load(spark, path)
+
+    def _ev(rows):
+        return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+    calls = {"n": 0}
+    real_merge = LakeTable.merge
+
+    def rival_always_wins(updates, **kw):
+        # a rival lands a commit right before THIS handle's attempt
+        # (instance-level patch: h1's calls use the real class method)
+        h1.merge(_ev([("UPSERT", 100 + calls["n"], 50 + calls["n"], "x")]),
+                 batch_id=f"rival-{calls['n']}")
+        calls["n"] += 1
+        return real_merge(h2, updates, **kw)
+
+    h2.merge = rival_always_wins
+    with pytest.raises(ConcurrentWriteError):
+        h2.merge_with_retry(_ev([("UPSERT", 1, 1, "a")]),
+                            batch_id="mine", max_retries=2)
+    assert calls["n"] == 3  # initial attempt + 2 retries, then raise
