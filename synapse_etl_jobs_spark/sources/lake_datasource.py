@@ -587,14 +587,38 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
         seen = paths(prev)
         for v in range(lo + 1, hi + 1):
             cur = _load_manifest(self._path, v)
+            kind = cur.get("commit_kind")
+            if kind == "compact":
+                # state-preserving rewrite (same contract as
+                # LakeTable.changes): the deltas it folded were already
+                # collected from the merge versions that appended them,
+                # and those delta FILES stay on disk until vacuum — so
+                # the reads planned above stay valid; just rebase the
+                # path baseline. Without this skip a source ingesting
+                # under ReplayDriver(compact_every=K) would kill the
+                # stream every K batches.
+                seen = paths(cur)
+                continue
+            if kind == "rollback":
+                # state-CHANGING with no per-row record: undoing a merge
+                # REMOVES files, which this walk would read as "nothing
+                # added" — a silently empty micro-batch for a version
+                # that reverted rows, diverging every downstream replica.
+                raise ValueError(
+                    f"table version {v} is a rollback — it reverts rows "
+                    "without a per-row change record; re-sync the consumer "
+                    "from a snapshot and restart the stream with "
+                    f"startingVersion={v}"
+                )
             for bid, lst in cur["buckets"].items():
                 for e in lst:
                     if e["path"] in seen:
                         continue
                     if e.get("kind", "base") != "delta":
                         raise ValueError(
-                            f"table version {v} rewrote base files (copy-on-write "
-                            "merge or compaction) — no per-row change record "
+                            f"table version {v} rewrote base files "
+                            "(copy-on-write merge, rebucket, or an unstamped "
+                            "legacy compaction) — no per-row change record "
                             "exists for the stream to tail; start the stream "
                             "past it or keep the table in 'mor' mode"
                         )

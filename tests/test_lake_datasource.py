@@ -426,3 +426,72 @@ def test_batch_reader_pickles_without_manifest(spark, mor_table):
     assert not hasattr(restored, "_man")
     rows = sum(b.num_rows for p in parts for b in restored.read(p))
     assert rows == mor_table.read().count()
+
+
+def test_stream_skips_stamped_compactions(spark, tmp_path):
+    """A merge → compact → merge window yields exactly the merge deltas
+    (compaction is state-preserving; its folded delta files stay on disk
+    until vacuum), so a stream tailing a maintained table survives
+    ReplayDriver(compact_every=K)."""
+    from synapse_etl_jobs_spark.sources.lake_datasource import LakeCdcStreamReader
+
+    path = str(tmp_path / "T")
+    t = LakeTable.create(spark, path, SCHEMA, KEYS, num_buckets=2,
+                         write_mode="mor")
+    t.merge(_events(spark, [("r1", "a", 1.0, "INSERT", 1)]), batch_id=0)
+    t.compact(drop_tombstones=False)
+    t.merge(_events(spark, [("r2", "b", 2.0, "INSERT", 2)]), batch_id=1)
+    hi = t.manifest.table_version
+
+    rdr = LakeCdcStreamReader({"path": path})
+    parts = rdr.partitions({"version": 0}, {"version": hi})
+    files = [f["path"] for p in parts for f in p.files]
+    assert len(files) == 2  # the two merge deltas, nothing from compact
+    # end-to-end: replicate across the compaction window
+    register(spark)
+    b_path = str(tmp_path / "B")
+    b = LakeTable.create(spark, b_path, SCHEMA, KEYS, num_buckets=2,
+                         write_mode="mor")
+
+    def apply_to_b(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        tb = LakeTable.load(spark, b_path)
+        updates = batch_df.withColumn(
+            "op",
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "DELETE")
+            .otherwise("UPSERT"),
+        ).withColumnRenamed("_seq", "seq").drop("_deleted")
+        tb.merge(updates, batch_id=int(batch_id), stream_id="repl")
+
+    q = (
+        spark.readStream.format("synlake_cdc")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(apply_to_b)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert_same(LakeTable.load(spark, b_path).read(),
+                LakeTable.load(spark, path).read())
+
+
+def test_stream_fails_loudly_on_rollback(spark, tmp_path):
+    """A rollback inside the window reverts rows with no per-row record —
+    the stream must raise (a silent empty batch would diverge replicas)."""
+    from synapse_etl_jobs_spark.sources.lake_datasource import LakeCdcStreamReader
+
+    path = str(tmp_path / "T")
+    t = LakeTable.create(spark, path, SCHEMA, KEYS, num_buckets=2,
+                         write_mode="mor")
+    t.merge(_events(spark, [("r1", "a", 1.0, "INSERT", 1)]), batch_id=0)
+    t.merge(_events(spark, [("r2", "b", 2.0, "INSERT", 2)]), batch_id=1)
+    t.rollback(1)
+    hi = t.manifest.table_version
+    rdr = LakeCdcStreamReader({"path": path})
+    with pytest.raises(ValueError, match="rollback"):
+        rdr.partitions({"version": 0}, {"version": hi})
+    # windows strictly before the rollback still plan fine
+    assert rdr.partitions({"version": 0}, {"version": 2})
