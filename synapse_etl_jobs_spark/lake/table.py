@@ -1221,22 +1221,8 @@ class LakeTable:
         sorted/z-ordered table touches only intersecting files; the exact
         predicate still applies to the surviving rows. Predicates with no
         derivable bounds degrade to a plain filtered read."""
-        cond = F.expr(predicate)
-        bounds = self._predicate_bounds(predicate)
-        if bounds:
-            entries, _ = self._range_pruned_entries(bounds)
-        else:
-            entries = [e for lst in self.manifest.buckets.values() for e in lst]
-        df = self._current_view(entries)
-        if df is None:
-            return self.spark.createDataFrame(
-                [], self.manifest.current_schema()
-            ).filter(cond)
-        return (
-            df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .drop(*INTERNAL_COLS)
-            .filter(cond)
-        )
+        view, _ = self._matched_view(predicate, None)
+        return view.drop(*INTERNAL_COLS)
 
     # ------------------------------------------------------------------ merge
 
@@ -1887,9 +1873,17 @@ class LakeTable:
                 v = lit.value()
                 if isinstance(v, (bool, int, float, str)):
                     return v
-                if v is not None and "UTF8String" in v.getClass().getName():
+                if v is None:
+                    return None
+                jcls = v.getClass().getName()
+                if "UTF8String" in jcls:
                     return str(v)
-                return None  # decimals/intervals/binary: skip
+                if "Decimal" in jcls:
+                    # plain fractional literals ("0.5") parse as Decimal —
+                    # without this the float/double pruning path would
+                    # only ever fire on the unusual "0.5D" form
+                    return float(str(v))
+                return None  # intervals/binary/dates: skip
 
             bounds: dict[str, tuple[Any, Any]] = {}
             for e in conjuncts:
@@ -1981,6 +1975,20 @@ class LakeTable:
             )
         return stored + F.lit(1)
 
+    @staticmethod
+    def _reject_fixed_merge_kwargs(merge_kwargs: dict) -> None:
+        """The maintenance ops build their own batch, so the envelope
+        column names are fixed — forwarding a caller's op_col/seq_col/
+        set_col would collide with the explicit arguments at the merge
+        call (an opaque TypeError); refuse with an explanation instead."""
+        for banned in ("op_col", "seq_col", "set_col"):
+            if banned in merge_kwargs:
+                raise ValueError(
+                    f"{banned} is fixed for maintenance batches "
+                    "(delete_where/update_where synthesize the change "
+                    "events themselves)"
+                )
+
     def delete_where(
         self,
         predicate: Any,
@@ -2020,6 +2028,7 @@ class LakeTable:
         A predicate matching nothing still commits the batch marker
         (exactly-once bookkeeping), writing zero files.
         """
+        self._reject_fixed_merge_kwargs(merge_kwargs)
         matched, prune_stats = self._matched_view(
             predicate, self._sql_refs(predicate)
         )
@@ -2071,6 +2080,7 @@ class LakeTable:
         tables write the full updated row (full-row storage needs every
         column), so their predicate scan is full-width by necessity.
         """
+        self._reject_fixed_merge_kwargs(merge_kwargs)
         m = self.manifest
         fields = set(m.current_schema().fieldNames())
         if not set_exprs:

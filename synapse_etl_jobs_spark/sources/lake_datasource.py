@@ -536,7 +536,18 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
     appended (Iceberg incremental-scan semantics) — cost is O(changed
     data) regardless of table size.  Rows carry ``_seq``/``_deleted`` so
     the batch IS a change-event batch a downstream LWW consumer (e.g.
-    ``LakeTable.merge``) applies directly."""
+    ``LakeTable.merge``) applies directly.
+
+    Retention contract (same as ``LakeTable.changes`` and the
+    incremental views): the stream's lag window is bounded by the
+    source's ``vacuum`` retention — planning needs the manifest at the
+    checkpointed offset and the delta files of every un-consumed
+    version, and vacuum reclaims both past ``retain_versions``. A
+    consumer that falls further behind than the source retains fails
+    with an explicit expiry error (below) and must re-sync from a
+    snapshot; size ``vacuum(retain_versions=...)`` / the driver's
+    ``vacuum_opts`` to cover the slowest consumer's lag (Iceberg
+    expire-snapshots vs incremental-consumer semantics)."""
 
     def __init__(self, options: dict):
         self._path = options.get("path")
@@ -578,7 +589,16 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[LakePartition]:  # noqa: N802
         lo, hi = int(start["version"]), int(end["version"])
         self._cursor = max(self._cursor or 0, hi)
-        prev = _load_manifest(self._path, lo)
+        try:
+            prev = _load_manifest(self._path, lo)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"stream offset {lo} has been expired by vacuum (manifest "
+                "gone) — the consumer fell behind the source's retention "
+                "window; re-sync from a snapshot and restart with a fresh "
+                "checkpoint (raise the source's vacuum retain_versions to "
+                "cover consumer lag)"
+            ) from e
         by_bucket: dict[int, list[tuple[dict, dict]]] = {}
 
         def paths(man: dict) -> set[str]:
@@ -592,9 +612,11 @@ class LakeCdcStreamReader(_LakeReaderBase, DataSourceStreamReader):
                 # state-preserving rewrite (same contract as
                 # LakeTable.changes): the deltas it folded were already
                 # collected from the merge versions that appended them,
-                # and those delta FILES stay on disk until vacuum — so
-                # the reads planned above stay valid; just rebase the
-                # path baseline. Without this skip a source ingesting
+                # and those delta FILES stay on disk UNTIL VACUUM — the
+                # reads planned above stay valid only while the consumer
+                # stays inside the source's vacuum retention window (the
+                # class-docstring lag contract); just rebase the path
+                # baseline here. Without this skip a source ingesting
                 # under ReplayDriver(compact_every=K) would kill the
                 # stream every K batches.
                 seen = paths(cur)

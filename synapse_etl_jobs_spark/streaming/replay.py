@@ -85,7 +85,12 @@ class ReplayDriver:
         ``vacuum()`` (Iceberg expire-snapshots + remove-orphans analog)
         reclaims versions older than ``retain_versions`` and their
         exclusive files. Opting in trades time travel / ``rollback``
-        depth beyond ``retain_versions`` for bounded metadata+disk; the
+        depth beyond ``retain_versions`` for bounded metadata+disk —
+        and bounds the LAG WINDOW of changelog consumers (``changes()``,
+        ``synlake_cdc`` streams, incremental views): a consumer further
+        behind than ``retain_versions`` loses its window and must
+        re-sync from a snapshot, so size retention to cover the slowest
+        consumer. The
         batch markers live in the RETAINED manifest, so exactly-once
         replay short-circuiting is unaffected. Safe inside the loop
         because the driver IS the table's single writer. When both fire

@@ -495,3 +495,21 @@ def test_stream_fails_loudly_on_rollback(spark, tmp_path):
         rdr.partitions({"version": 0}, {"version": hi})
     # windows strictly before the rollback still plan fine
     assert rdr.partitions({"version": 0}, {"version": 2})
+
+
+def test_stream_fails_with_expiry_error_after_vacuum(spark, tmp_path):
+    """A consumer that falls behind the source's vacuum retention gets an
+    explicit expiry error (re-sync guidance), not a raw FileNotFound."""
+    from synapse_etl_jobs_spark.sources.lake_datasource import LakeCdcStreamReader
+
+    path = str(tmp_path / "T")
+    t = LakeTable.create(spark, path, SCHEMA, KEYS, num_buckets=2,
+                         write_mode="mor")
+    for i in range(5):
+        t.merge(_events(spark, [(f"r{i}", "a", 1.0, "INSERT", i + 1)]),
+                batch_id=i)
+    t.vacuum(retain_versions=2)
+    hi = t.manifest.table_version
+    rdr = LakeCdcStreamReader({"path": path})
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        rdr.partitions({"version": 1}, {"version": hi})

@@ -311,3 +311,22 @@ def test_read_where_matches_plain_filter_and_prunes(spark, tmp_path):
     assert st["files_kept"] < st["files_total"]
     # no derivable bounds → still exact
     assert t.read_where("stars >= 90 OR stars < 2").count() == 12
+
+
+def test_predicate_bounds_fractional_and_kwarg_guard(spark, tmp_path):
+    """Plain fractional literals (parsed as Decimal by Spark) must bound
+    float/double columns, and the fixed envelope kwargs are refused with
+    an explanation instead of an opaque TypeError."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        StructType().add("k", "long").add("v", "double"),
+        ["k"], num_buckets=2, write_mode="mor",
+    )
+    assert t._predicate_bounds("v > 0.5") == {"v": (0.5, None)}
+    assert t._predicate_bounds("v >= 0.25 AND v < 1.75") == {"v": (0.25, 1.75)}
+    # fractional literal against an integral column: skipped (type guard)
+    assert t._predicate_bounds("k = 1.5") == {}
+    with pytest.raises(ValueError, match="op_col is fixed"):
+        t.delete_where("v > 0.5", op_col="operation")
+    with pytest.raises(ValueError, match="seq_col is fixed"):
+        t.update_where("v > 0.5", {"v": "v + 1"}, seq_col="s")
