@@ -28,10 +28,23 @@ order-independent per-row sha256 xor checksum the scaling harness uses
 (`tools/bench_scaling.py`), so compact-every-K and never-compact runs
 can be asserted bit-identical in final state.
 
+``--replica`` closes the loop on the full production shape: a second
+table tails the source through the ``synlake_cdc`` stream (one
+availableNow pass per ingest cycle, Spark-checkpointed offsets) and the
+summary asserts the replica's sha-xor equals the source's — ingest +
+scheduled maintenance + a live changelog consumer, all in one clock.
+With maintenance on, the consumer's lag window is bounded by vacuum
+retention (see LakeCdcStreamReader's docstring): a compact cycle moves
+the head 2 versions while the replica's checkpoint is 1 cycle behind,
+so ``--retain-versions`` must be ≥ 4 when both ``--vacuum-every`` and
+``--replica`` are set (the harness refuses a losing combination rather
+than failing mid-run).
+
 Usage:
   python tools/sustained_ingest.py [--events N] [--batches B]
       [--mode mor|cow] [--compact-every K] [--read-every R]
       [--cores C] [--buckets NB] [--workdir DIR]
+      [--replica] [--retain-versions V]
 
 Run each variant in its own process (fresh JVM) and never co-run two —
 same bench hygiene as every other harness here.
@@ -69,7 +82,18 @@ def main() -> None:
     p.add_argument("--workdir", default=None,
                    help="table + source dir (default: a fresh tempdir; "
                         "put it on tmpfs to take disk out of the clock)")
+    p.add_argument("--replica", action="store_true",
+                   help="tail the source through a synlake_cdc stream "
+                        "into a replica table after every ingest cycle; "
+                        "the summary asserts sha-xor equality")
+    p.add_argument("--retain-versions", type=int, default=2,
+                   help="vacuum retention (must cover the replica's lag "
+                        "window: >= 4 with --replica + --vacuum-every)")
     args = p.parse_args()
+    if args.replica and args.vacuum_every and args.retain_versions < 4:
+        p.error("--replica with --vacuum-every needs --retain-versions >= 4 "
+                "(a compact cycle moves the head 2 versions while the "
+                "replica is 1 cycle behind)")
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -123,8 +147,50 @@ def main() -> None:
             batch_events=(args.events + args.batches - 1) // args.batches,
             compact_every=args.compact_every or None,
             vacuum_every=args.vacuum_every or None,
+            vacuum_opts={"retain_versions": args.retain_versions},
         )
         b = driver.batch_events
+
+        rep_path = os.path.join(tmp, "replica")
+        if args.replica:
+            from synapse_etl_jobs_spark.sources.lake_datasource import register
+
+            register(spark)
+            LakeTable.create(
+                spark, rep_path, schema, ["repo", "path", "commit"],
+                num_buckets=args.buckets, write_mode="mor",
+            )
+            rep_ckpt = os.path.join(tmp, "rep_ckpt")
+
+            def sync_replica() -> float:
+                """One availableNow pass of the changelog stream into the
+                replica; returns the wall. Offsets live in the Spark
+                checkpoint — each pass resumes where the last stopped."""
+                def apply(batch_df, batch_id):
+                    if batch_df.isEmpty():
+                        return
+                    tb = LakeTable.load(spark, rep_path)
+                    up = batch_df.withColumn(
+                        "op",
+                        F.when(
+                            F.coalesce(F.col("_deleted"), F.lit(False)),
+                            "DELETE",
+                        ).otherwise("UPSERT"),
+                    ).withColumnRenamed("_seq", "seq").drop("_deleted")
+                    tb.merge(up, batch_id=int(batch_id), stream_id="repl")
+
+                t0 = time.monotonic()
+                q = (
+                    spark.readStream.format("synlake_cdc")
+                    .option("path", os.path.join(tmp, "t"))
+                    .load()
+                    .writeStream.foreachBatch(apply)
+                    .option("checkpointLocation", rep_ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return round(time.monotonic() - t0, 3)
 
         def live_files() -> int:
             return sum(len(v) for v in table.manifest.buckets.values())
@@ -172,6 +238,8 @@ def main() -> None:
                 n = table.read().count()
                 row["read_wall_sec"] = round(time.monotonic() - t0, 3)
                 row["table_rows"] = n
+            if args.replica:
+                row["replica_wall_sec"] = sync_replica()
             print(json.dumps(row), flush=True)
         total_wall = time.monotonic() - t_total0
 
@@ -182,7 +250,7 @@ def main() -> None:
                 " sha2(content, 256)))"
             ).alias("sha_xor"),
         ).collect()[0]
-        print(json.dumps({
+        summary = {
             "summary": True,
             "mode": args.mode,
             "events": args.events,
@@ -195,7 +263,25 @@ def main() -> None:
             "merge_wall_last4_sec": [round(w, 2) for w in merge_walls[-4:]],
             "final_rows": chk["rows"],
             "final_state_sha_xor": chk["sha_xor"],
-        }), flush=True)
+        }
+        if args.replica:
+            rchk = LakeTable.load(spark, rep_path).read().agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr(
+                    "bit_xor(xxhash64(repo, path, commit, lang,"
+                    " sha2(content, 256)))"
+                ).alias("sha_xor"),
+            ).collect()[0]
+            summary["replica_rows"] = rchk["rows"]
+            summary["replica_sha_xor"] = rchk["sha_xor"]
+            summary["replica_matches_source"] = (
+                rchk["rows"] == chk["rows"]
+                and rchk["sha_xor"] == chk["sha_xor"]
+            )
+            assert summary["replica_matches_source"], (
+                "replica diverged from source", summary
+            )
+        print(json.dumps(summary), flush=True)
     finally:
         if args.workdir is None:
             shutil.rmtree(tmp, ignore_errors=True)
