@@ -636,6 +636,46 @@ class LakeTable:
         file, and slack makes that rare instead of systematic."""
         salt = max(int(self.manifest.props.get("write_salt", 1)), 1)
         parts = max(self.manifest.num_buckets, min_tasks) * salt
+        if cluster is not None:
+            # clustered rewrite (Z-order, or the 1-D leading-sort-column
+            # case): instead of a key-hash salt (which spreads a bucket's
+            # rows randomly over its files), split each bucket's files by
+            # CONTIGUOUS code ranges (the code's top bits) and sort each
+            # file by the code — every file then covers a small
+            # hyper-rectangle (interval, for 1-D) of the clustered
+            # columns, so per-file min/max stats prune on every clustered
+            # column (see lake/zorder.py). With ``parts_by_bucket``
+            # (binpack) the range count is per-bucket, so big buckets
+            # emit many range-contiguous target-sized files. Trailing
+            # ``sort_cols`` break code ties inside each file (for the 1-D
+            # sort case the code is monotone in the leading column, so
+            # (code, cols...) ordering == the full sort order).
+            zcol, zbits = cluster
+            df = df.withColumn("_zcode", zcol)
+            if parts_by_bucket:
+                groups = F.create_map(
+                    *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
+                      for v in (int(b), max(int(p), 1))]
+                )
+                ng = F.element_at(groups, F.col(BUCKET_COL))
+                range_col = F.least(
+                    F.floor(F.col("_zcode") * ng / F.lit(1 << zbits)),
+                    ng - F.lit(1),
+                ).cast("int")
+                slots = max(2 * sum(parts_by_bucket.values()), min_tasks, 1)
+                df = df.repartition(slots, F.col(BUCKET_COL), range_col)
+            else:
+                range_col = F.least(
+                    F.floor(F.col("_zcode") * salt / F.lit(1 << zbits)),
+                    F.lit(salt - 1),
+                ).cast("int")
+                df = df.repartition(parts, F.col(BUCKET_COL), range_col)
+            # projection after the sort preserves intra-partition order
+            df = df.sortWithinPartitions(
+                BUCKET_COL, "_zcode", *list(sort_cols or [])
+            ).drop("_zcode")
+            df.write.partitionBy(BUCKET_COL).parquet(out_dir)
+            return
         if parts_by_bucket:
             groups = F.create_map(
                 *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
@@ -650,24 +690,6 @@ class LakeTable:
             df = df.repartition(slots, F.col(BUCKET_COL), group_col)
             if sort_cols:
                 df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
-            df.write.partitionBy(BUCKET_COL).parquet(out_dir)
-            return
-        if cluster is not None:
-            # Z-order rewrite: instead of a key-hash salt (which spreads a
-            # bucket's rows randomly over its files), split each bucket's
-            # files by CONTIGUOUS Morton-code ranges (the code's top bits)
-            # and sort each file by the code — every file then covers a
-            # small hyper-rectangle of the clustered columns, so per-file
-            # min/max stats prune on EVERY z-column (see lake/zorder.py)
-            zcol, zbits = cluster
-            df = df.withColumn("_zcode", zcol)
-            range_col = F.least(
-                F.floor(F.col("_zcode") * salt / F.lit(1 << zbits)),
-                F.lit(salt - 1),
-            ).cast("int")
-            df = df.repartition(parts, F.col(BUCKET_COL), range_col)
-            # projection after the sort preserves intra-partition order
-            df = df.sortWithinPartitions(BUCKET_COL, "_zcode").drop("_zcode")
             df.write.partitionBy(BUCKET_COL).parquet(out_dir)
             return
         if salt > 1:
@@ -1885,16 +1907,80 @@ class LakeTable:
                     return float(str(v))
                 return None  # intervals/binary/dates: skip
 
+            def kind(x):
+                return x.getClass().getSimpleName()
+
+            def typed_ok(col: str, v: Any) -> bool:
+                t = fields[col]
+                return (
+                    (isinstance(v, int) and isinstance(t, int_types))
+                    or (isinstance(v, (int, float))
+                        and isinstance(t, float_types))
+                    or (isinstance(v, str) and isinstance(t, StringType))
+                )
+
             bounds: dict[str, tuple[Any, Any]] = {}
+
+            def narrow(col: str, lo_v: Any, hi_v: Any) -> None:
+                lo, hi = bounds.get(col, (None, None))
+                if lo_v is not None:
+                    lo = lo_v if lo is None else max(lo, lo_v)
+                if hi_v is not None:
+                    hi = hi_v if hi is None else min(hi, hi_v)
+                bounds[col] = (lo, hi)
+
             for e in conjuncts:
                 op = e.getClass().getSimpleName()
+                if (op == "UnresolvedFunction"
+                        and str(e.nameParts()) == "List(between)"):
+                    # BETWEEN stays an unresolved "between" function call
+                    # at parse time (Spark 4 rewrites it during
+                    # analysis): children = [col, lo, hi]
+                    ch = []
+                    it = e.children().iterator()
+                    while it.hasNext():
+                        ch.append(it.next())
+                    if (len(ch) == 3
+                            and kind(ch[0]) == "UnresolvedAttribute"
+                            and kind(ch[1]) == "Literal"
+                            and kind(ch[2]) == "Literal"):
+                        col = ch[0].name()
+                        lo_v, hi_v = lit_value(ch[1]), lit_value(ch[2])
+                        if (col in fields
+                                and lo_v is not None and hi_v is not None
+                                and not isinstance(lo_v, bool)
+                                and not isinstance(hi_v, bool)
+                                and typed_ok(col, lo_v)
+                                and typed_ok(col, hi_v)):
+                            narrow(col, lo_v, hi_v)
+                    continue
+                if op == "In":
+                    # col IN (lit, ...): bound by the list's [min, max] —
+                    # a superset of the exact member set, sound
+                    if kind(e.value()) != "UnresolvedAttribute":
+                        continue
+                    col = e.value().name()
+                    if col not in fields:
+                        continue
+                    items = []
+                    it = e.list().iterator()
+                    while it.hasNext():
+                        x = it.next()
+                        if kind(x) != "Literal":
+                            items = None
+                            break
+                        v = lit_value(x)
+                        if v is None or isinstance(v, bool) \
+                                or not typed_ok(col, v):
+                            items = None
+                            break
+                        items.append(v)
+                    if items:  # non-empty, all usable literals
+                        narrow(col, min(items), max(items))
+                    continue
                 if op not in self._CMP_FLIP:
                     continue
                 left, right = e.left(), e.right()
-
-                def kind(x):
-                    return x.getClass().getSimpleName()
-
                 if kind(left) == "UnresolvedAttribute" and kind(right) == "Literal":
                     col, lit = left.name(), right
                 elif kind(right) == "UnresolvedAttribute" and kind(left) == "Literal":
@@ -1904,28 +1990,16 @@ class LakeTable:
                 if col not in fields:
                     continue
                 v = lit_value(lit)
-                if v is None or isinstance(v, bool):
+                if v is None or isinstance(v, bool) or not typed_ok(col, v):
                     continue
-                t = fields[col]
-                ok = (
-                    (isinstance(v, int) and isinstance(t, int_types))
-                    or (isinstance(v, (int, float))
-                        and isinstance(t, float_types))
-                    or (isinstance(v, str) and isinstance(t, StringType))
-                )
-                if not ok:
-                    continue
-                lo, hi = bounds.get(col, (None, None))
                 if op == "EqualTo":
-                    lo = v if lo is None else max(lo, v)
-                    hi = v if hi is None else min(hi, v)
+                    narrow(col, v, v)
                 elif op in ("GreaterThan", "GreaterThanOrEqual"):
                     # strictness ignored: an inclusive bound keeps a
                     # superset of files — sound
-                    lo = v if lo is None else max(lo, v)
+                    narrow(col, v, None)
                 else:  # LessThan / LessThanOrEqual
-                    hi = v if hi is None else min(hi, v)
-                bounds[col] = (lo, hi)
+                    narrow(col, None, v)
             return bounds
         except Exception:
             return {}
@@ -2161,12 +2235,17 @@ class LakeTable:
         rewritten by ``write_salt`` tasks (≤ ``write_salt`` output files
         per bucket) instead of one straggler.
 
-        ``sort_cols`` range-clusters each rewritten file (Iceberg
-        ``rewrite_data_files(strategy => 'sort')`` analog): parquet
-        row-group min/max stats on those columns become selective, so
-        subsequent range/point predicates skip row groups inside the
-        scan — the read-side payoff compaction can buy once, amortized
-        over every later query.
+        ``sort_cols`` range-clusters the rewrite (Iceberg
+        ``rewrite_data_files(strategy => 'sort')`` analog) at BOTH
+        granularities: each bucket's files are split by contiguous
+        ranges of the LEADING sort column (sampled boundaries — files
+        get intervals, not key-hash-random subsets, so the per-file
+        [min, max] recorded in the manifest lets ``scan_range`` /
+        ``read_where`` / ``delete_where`` skip whole files; a retention
+        sweep over a time-sorted table touches only matched files), and
+        rows inside each file are fully sorted so parquet row-group
+        min/max stats stay selective for every sort column. A constant
+        leading column falls back to the key-hash split.
 
         ``zorder_cols`` instead clusters each bucket's files along a
         Morton curve over SEVERAL columns at once (Delta ``OPTIMIZE
@@ -2223,9 +2302,34 @@ class LakeTable:
             # payload width
             cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits),
                                     hash_cols=self.manifest.key_cols)
+        elif sort_cols:
+            # file-level range clustering on the LEADING sort column
+            # (Iceberg sort-strategy rewrites range-partition by the
+            # sort order): files get contiguous value ranges instead of
+            # key-hash-random subsets, so the per-file [min, max] stats
+            # recorded below make scan_range / read_where / delete_where
+            # skip FILES, not just row groups — a retention sweep
+            # ("DELETE WHERE ts < cutoff") over a time-sorted table then
+            # touches only the matched files. The quantize expression is
+            # monotone in the value (1-D case of the Morton machinery),
+            # so sorting by (range, value) == sorting by value. A
+            # constant leading column yields no boundaries — fall back
+            # to the key-hash split (range-clustering a constant is
+            # meaningless and would collapse each bucket to one writer).
+            from synapse_etl_jobs_spark.lake.zorder import (
+                quantize_expr, sample_boundaries,
+            )
+
+            lead = list(sort_cols)[0]
+            bounds = sample_boundaries(
+                df, [lead], bits=int(zorder_bits),
+                hash_cols=self.manifest.key_cols,
+            )
+            if bounds[lead]:
+                cluster = (quantize_expr(lead, bounds[lead]), int(zorder_bits))
         parts_by_bucket = None
         if target_file_mb:
-            if cluster is not None:
+            if zorder_cols:
                 raise ValueError("target_file_mb and zorder_cols are mutually exclusive")
             # binpack (Iceberg rewrite_data_files binpack-strategy analog):
             # size each bucket's output file count from its CURRENT bytes

@@ -330,3 +330,16 @@ def test_predicate_bounds_fractional_and_kwarg_guard(spark, tmp_path):
         t.delete_where("v > 0.5", op_col="operation")
     with pytest.raises(ValueError, match="seq_col is fixed"):
         t.update_where("v > 0.5", {"v": "v + 1"}, seq_col="s")
+
+
+def test_predicate_bounds_in_and_between(spark, tmp_path):
+    """IN lists bound by [min, max] of the members; BETWEEN is expanded
+    by the parser into the two comparisons and already bounds."""
+    t = _seed(spark, str(tmp_path / "t"))
+    assert t._predicate_bounds("stars IN (7, 3, 5)") == {"stars": (3, 7)}
+    assert t._predicate_bounds("lang IN ('go', 'rust')") == \
+        {"lang": ("go", "rust")}
+    assert t._predicate_bounds("stars BETWEEN 2 AND 8") == {"stars": (2, 8)}
+    # non-literal member / type mismatch: contribute nothing
+    assert t._predicate_bounds("stars IN (1, stars)") == {}
+    assert t._predicate_bounds("stars IN ('a', 'b')") == {}

@@ -83,3 +83,30 @@ def test_sorted_compaction_range_clusters_files(spark, tmp_path):
     for fp in files:
         vals = pq.read_table(fp, columns=["v"]).column("v").to_pylist()
         assert vals == sorted(vals), f"file not clustered: {fp}"
+
+
+def test_sorted_binpack_range_splits_files(spark, tmp_path):
+    """sort_cols + target_file_mb: files get contiguous ranges of the
+    leading sort column (not key-hash-random subsets), so per-file
+    [min,max] stats actually skip files for ranged predicates."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        num_buckets=2, write_mode="mor",
+    )
+    rows = [("UPSERT", i, i, f"v{(i * 37) % 1000:04d}") for i in range(1000)]
+    t.merge(
+        spark.createDataFrame(rows, "op string, seq long, k long, v string"),
+        batch_id=0,
+    )
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    t.compact(sort_cols=["v"], target_file_mb=0.002)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    entries = [e for lst in t.manifest.buckets.values() for e in lst]
+    assert len(entries) > 4
+    # v is v0000..v0999 uniformly; average per-file span must be a small
+    # fraction of the domain (key-hash splitting leaves it near 1.0)
+    spans = []
+    for e in entries:
+        lo, hi = e["stats"]["v"]
+        spans.append((int(hi[1:]) - int(lo[1:])) / 1000.0)
+    assert sum(spans) / len(spans) < 0.5, spans
