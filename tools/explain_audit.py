@@ -320,6 +320,60 @@ def _athena_single_parse_check(spark, sf_dir):
     return "athena_backfill_single_json_parse", "\n\n".join(texts), problems
 
 
+def _row_maintenance_scan_check(spark, sf_dir):
+    """delete_where's matched-view scan must be pruned BOTH ways: the
+    parquet ReadSchema carries only keys + predicate columns + internal
+    state (never the wide content column — the _sql_refs projection
+    reaches the scan through the MoR reduce), and derivable range
+    bounds skip manifest files before any plan exists (asserted on the
+    driver-side pruning stats, since file skipping never shows in the
+    plan). Checked on a 200-row stars-sorted table."""
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    schema = (
+        StructType().add("repo", "string").add("path", "string")
+        .add("lang", "string").add("stars", "long").add("content", "string")
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="audit_rowmaint_") + "/t", schema,
+        ["repo", "path"], num_buckets=2, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"r{i}", f"f{i}", "python", i, "x" * 50, "UPSERT", i)
+             for i in range(200)],
+            "repo string, path string, lang string, stars long, "
+            "content string, op string, seq long",
+        ),
+        batch_id=0,
+    )
+    t.compact(sort_cols=["stars"], target_file_mb=0.001)
+
+    problems = []
+    pred = "stars >= 190"
+    view, _ = t._matched_view(pred, t._sql_refs(pred))
+    txt = plan_text(view)
+    if "content" in txt:
+        problems.append(
+            "matched-view plan reads the content column — the _sql_refs "
+            "projection did not reach the scan"
+        )
+    if "BatchEvalPython" in txt:
+        problems.append("FORBIDDEN BatchEvalPython in matched-view plan")
+    kept, st = t._range_pruned_entries(t._predicate_bounds(pred))
+    if not st["files_kept"] < st["files_total"]:
+        problems.append(
+            f"manifest stats pruning skipped nothing: {st} (sorted table, "
+            "range predicate — expected files_kept < files_total)"
+        )
+    txt += f"\n-- manifest pruning: {st} --"
+    return "row_maintenance_pruned_scan", txt, problems
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -350,6 +404,7 @@ def main() -> None:
     results.append(_tfidf_reuse_check(spark, sf_dir))
     results.append(_zorder_sampling_check(spark, sf_dir))
     results.append(_athena_single_parse_check(spark, sf_dir))
+    results.append(_row_maintenance_scan_check(spark, sf_dir))
 
     for name, txt, problems in results:
         status = "OK" if not problems else "FAIL"
