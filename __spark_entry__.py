@@ -1281,6 +1281,46 @@ def q_cdc_row_maintenance(spark, sf_dir) -> DataFrame:
     return table.read().select("user_id", "event_type", "value")
 
 
+def q_cdc_replication(spark, sf_dir) -> DataFrame:
+    """Tail-a-table replication through the packaged loop
+    (streaming/replicate.py): replay the change stream into a source
+    table (MoR, 3 batches), then ``replicate_once`` tails its changelog
+    — the ``synlake_cdc`` stream + checkpointed offsets + foreachBatch
+    merges — into a replica with a DIFFERENT bucket count (events
+    re-bucket on merge). Returns the REPLICA's state; oracle = the same
+    LWW reduction, so the gate proves source-equals-replica-equals-
+    oracle. Each pass moves O(new deltas): the replica merge is the
+    same O(batch) MoR merge the source ran (measured ≈ the source's own
+    merge wall — BENCH/BASELINE.md ninth window)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver, replicate_once
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    base = _tmpdir("lake_repl_")
+    src = LakeTable.create(
+        spark, base + "/src", schema, ["user_id"], num_buckets=8,
+        write_mode="mor",
+    )
+    ReplayDriver(src, num_batches=3).replay(ev)
+    LakeTable.create(
+        spark, base + "/rep", schema, ["user_id"], num_buckets=4,
+        write_mode="mor",
+    )
+    replicate_once(spark, src.path, base + "/rep", base + "/ckpt")
+    rep = LakeTable.load(spark, base + "/rep")
+    return rep.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "value", F.col("_seq").alias("seq")
+    )
+
+
 def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
     """Mid-stream schema evolution: merge epoch-0 batch, rename value→val
     and add column k, merge epoch-1 batch with the new shape; epoch-0
@@ -3054,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_merge_mor": q_cdc_lake_merge_mor,
         "cdc_replay_maintained": q_cdc_replay_maintained,
         "cdc_row_maintenance": q_cdc_row_maintenance,
+        "cdc_replication": q_cdc_replication,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
@@ -3913,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ANN_COPY_ORACLE,
         "cdc_lake_merge_mor": _CDC_ORACLE,
         "cdc_replay_maintained": _CDC_ORACLE,
+        "cdc_replication": _CDC_ORACLE,
         "cdc_row_maintenance": f"""
             WITH final_state AS ({_CDC_ORACLE})
             SELECT user_id, event_type,

@@ -1,0 +1,141 @@
+"""Table replication: tail a lake table's changelog into a replica.
+
+The tail-a-table pattern (Iceberg incremental consumer / Delta CDF
+replication): the source's merge-on-read commits ARE a changelog
+(`LakeTable.changes` / the ``synlake_cdc`` stream source record exactly
+the delta files each version appended, LWW rows + tombstones), so a
+replica is just that changelog re-merged under the same LWW rules.
+This module packages the loop the tests, the sustained-ingest harness,
+and the verify drives were each hand-writing:
+
+- ``replicate_once``: one availableNow pass of the ``synlake_cdc``
+  stream into the replica — Spark's streaming checkpoint holds the
+  offset, each call resumes where the last stopped (the scheduled-batch
+  shape). Exactly-once: the stream's micro-batch id is the replica's
+  batch marker, so a redelivered batch short-circuits.
+- ``replicate_stream``: the same loop as a continuous Structured
+  Streaming query (``trigger_once=False``) for a long-lived follower.
+
+Consumer-lag contract (same as every changelog consumer here): the
+source's ``vacuum`` retention bounds how far a replica may fall behind —
+plan a retention that covers the slowest follower, or the stream raises
+the explicit expiry error and the replica must re-sync from a snapshot
+(`LakeCdcStreamReader` docstring has the sizing rule).
+
+Scale shape: each pass moves O(new deltas) — the replica merge is the
+same O(batch) MoR merge the source ran, applied from the changelog
+instead of the upstream batch (measured: replica cost per cycle ≈ the
+source's own merge wall for the same delta volume —
+``BENCH/BASELINE.md`` ninth window). The replica is a normal LakeTable:
+it can be compacted, vacuumed, queried, and even chained (a replica of
+a replica tails the replica's own changelog).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from synapse_etl_jobs_spark.lake import LakeTable
+
+
+def changelog_to_events(batch_df: DataFrame) -> DataFrame:
+    """Reshape a changelog micro-batch (``_seq`` / ``_deleted`` rows, the
+    shape ``changes()`` and ``synlake_cdc`` emit) into a merge-ready
+    change-event batch (``op`` / ``seq`` columns)."""
+    return (
+        batch_df.withColumn(
+            "op",
+            F.when(
+                F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("DELETE")
+            ).otherwise(F.lit("UPSERT")),
+        )
+        .withColumnRenamed("_seq", "seq")
+        .drop("_deleted")
+    )
+
+
+def _apply_fn(spark: SparkSession, replica_path: str, stream_id: str,
+              merge_kwargs: dict):
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # fresh handle per micro-batch: the replica's manifest advances
+        # under this loop, and a long-lived handle would race itself
+        tb = LakeTable.load(spark, replica_path)
+        tb.merge(
+            changelog_to_events(batch_df),
+            batch_id=int(batch_id),
+            stream_id=stream_id,
+            **merge_kwargs,
+        )
+    return apply
+
+
+def replicate_stream(
+    spark: SparkSession,
+    source_path: str,
+    replica_path: str,
+    checkpoint_dir: str,
+    *,
+    stream_id: str = "replicate",
+    starting_version: int = 0,
+    max_versions_per_trigger: int | None = None,
+    trigger_once: bool = True,
+    **merge_kwargs: Any,
+):
+    """Tail ``source_path``'s changelog into the replica table at
+    ``replica_path`` (which must already exist — same keys; bucket
+    count/layout are free to differ, the events re-bucket on merge).
+
+    ``trigger_once=True`` (default) runs one availableNow pass and
+    returns after it finishes — call repeatedly to poll (the
+    scheduled-batch shape; ``replicate_once`` is the convenience
+    wrapper). ``trigger_once=False`` returns the running continuous
+    query. ``max_versions_per_trigger`` bounds catch-up batches
+    (backpressure); ``merge_kwargs`` forward to the replica's ``merge``
+    (e.g. ``salt_buckets`` for a hot-key replica).
+    """
+    from synapse_etl_jobs_spark.sources.lake_datasource import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("synlake_cdc")
+        .option("path", source_path)
+        .option("startingVersion", int(starting_version))
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxVersionsPerTrigger", int(max_versions_per_trigger)
+        )
+    writer = (
+        reader.load()
+        .writeStream.foreachBatch(
+            _apply_fn(spark, replica_path, stream_id, merge_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if trigger_once:
+        query.awaitTermination()
+    return query
+
+
+def replicate_once(
+    spark: SparkSession,
+    source_path: str,
+    replica_path: str,
+    checkpoint_dir: str,
+    **kwargs: Any,
+):
+    """One availableNow catch-up pass (resumes from the checkpoint's
+    offset). Returns the finished streaming query."""
+    return replicate_stream(
+        spark, source_path, replica_path, checkpoint_dir,
+        trigger_once=True, **kwargs,
+    )

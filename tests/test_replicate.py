@@ -1,0 +1,81 @@
+"""replicate_once / replicate_stream: tail a table's changelog into a
+replica through the packaged loop (streaming/replicate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from synapse_etl_jobs_spark.lake import LakeTable
+from synapse_etl_jobs_spark.streaming import replicate_once
+
+SCHEMA = StructType().add("k", "long").add("v", "string")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+
+def _state(t):
+    return {(r["k"], r["v"]) for r in t.read().collect()}
+
+
+def _mk_pair(spark, tmp_path, replica_buckets=4):
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, ["k"],
+                           num_buckets=4, write_mode="mor")
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), SCHEMA, ["k"],
+                           num_buckets=replica_buckets, write_mode="mor")
+    return src, rep
+
+
+def test_replicate_catches_up_and_resumes(spark, tmp_path):
+    src, rep = _mk_pair(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b")]),
+              batch_id=0)
+    replicate_once(spark, src.path, rep.path, ckpt)
+    assert _state(LakeTable.load(spark, rep.path)) == _state(src)
+
+    # more source commits, SAME checkpoint: only the new versions flow,
+    # and deletes/updates replicate exactly
+    src = LakeTable.load(spark, src.path)
+    src.merge(_ev(spark, [("DELETE", 3, 1, None), ("UPSERT", 4, 3, "c")]),
+              batch_id=1)
+    src.delete_where("v = 'b'")
+    replicate_once(spark, src.path, rep.path, ckpt)
+    got = _state(LakeTable.load(spark, rep.path))
+    assert got == _state(src) == {(3, "c")}
+
+    # nothing new: a third pass is a no-op (replica version unchanged)
+    v = LakeTable.load(spark, rep.path).manifest.table_version
+    replicate_once(spark, src.path, rep.path, ckpt)
+    assert LakeTable.load(spark, rep.path).manifest.table_version == v
+
+
+def test_replicate_survives_maintenance_and_rebuckets(spark, tmp_path):
+    """Compaction on the source is invisible to the follower (stamp
+    skip), and a replica with a DIFFERENT bucket count converges —
+    events re-bucket on merge."""
+    src, rep = _mk_pair(spark, tmp_path, replica_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_ev(spark, [("UPSERT", i, i, f"v{i}") for i in range(1, 9)]),
+              batch_id=0)
+    src.compact(drop_tombstones=False)
+    src.merge(_ev(spark, [("UPSERT", 10, 1, "V1"), ("DELETE", 11, 2, None)]),
+              batch_id=1)
+    replicate_once(spark, src.path, rep.path, ckpt)
+    rep2 = LakeTable.load(spark, rep.path)
+    assert _state(rep2) == _state(src)
+    assert rep2.manifest.num_buckets == 2
+
+
+def test_replicate_chain(spark, tmp_path):
+    """A replica is a normal table: a second follower can tail the
+    replica's own changelog (A -> B -> C)."""
+    a, b = _mk_pair(spark, tmp_path)
+    c = LakeTable.create(spark, str(tmp_path / "c"), SCHEMA, ["k"],
+                         num_buckets=4, write_mode="mor")
+    a.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b")]),
+            batch_id=0)
+    replicate_once(spark, a.path, b.path, str(tmp_path / "ck_ab"))
+    replicate_once(spark, b.path, c.path, str(tmp_path / "ck_bc"))
+    assert _state(LakeTable.load(spark, c.path)) == _state(a)

@@ -163,33 +163,16 @@ def main() -> None:
             rep_ckpt = os.path.join(tmp, "rep_ckpt")
 
             def sync_replica() -> float:
-                """One availableNow pass of the changelog stream into the
-                replica; returns the wall. Offsets live in the Spark
-                checkpoint — each pass resumes where the last stopped."""
-                def apply(batch_df, batch_id):
-                    if batch_df.isEmpty():
-                        return
-                    tb = LakeTable.load(spark, rep_path)
-                    up = batch_df.withColumn(
-                        "op",
-                        F.when(
-                            F.coalesce(F.col("_deleted"), F.lit(False)),
-                            "DELETE",
-                        ).otherwise("UPSERT"),
-                    ).withColumnRenamed("_seq", "seq").drop("_deleted")
-                    tb.merge(up, batch_id=int(batch_id), stream_id="repl")
+                """One availableNow catch-up pass through the packaged
+                replication loop (streaming/replicate.py); returns the
+                wall. Offsets live in the Spark checkpoint — each pass
+                resumes where the last stopped."""
+                from synapse_etl_jobs_spark.streaming import replicate_once
 
                 t0 = time.monotonic()
-                q = (
-                    spark.readStream.format("synlake_cdc")
-                    .option("path", os.path.join(tmp, "t"))
-                    .load()
-                    .writeStream.foreachBatch(apply)
-                    .option("checkpointLocation", rep_ckpt)
-                    .trigger(availableNow=True)
-                    .start()
+                replicate_once(
+                    spark, os.path.join(tmp, "t"), rep_path, rep_ckpt,
                 )
-                q.awaitTermination()
                 return round(time.monotonic() - t0, 3)
 
         def live_files() -> int:
