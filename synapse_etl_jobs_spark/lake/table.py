@@ -636,40 +636,71 @@ class LakeTable:
         file, and slack makes that rare instead of systematic."""
         salt = max(int(self.manifest.props.get("write_salt", 1)), 1)
         parts = max(self.manifest.num_buckets, min_tasks) * salt
+        if parts_by_bucket:
+            # shared by the clustered and key-hash binpack shapes below:
+            # per-bucket target file count as a map literal, and a slot
+            # count with 2x slack (two groups hashing to one slot would
+            # merge into one oversized file; slack makes that rare)
+            binpack_groups = F.create_map(
+                *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
+                  for v in (int(b), max(int(p), 1))]
+            )
+            binpack_slots = max(2 * sum(parts_by_bucket.values()), min_tasks, 1)
+            # clustered rewrites: two (bucket, range) tuples hashing to
+            # one slot MERGE two adjacent ranges into one file, widening
+            # its [min,max] — worth more slack than the plain key-hash
+            # shape, where a collision only changes file sizes
+            cluster_slots = max(4 * sum(parts_by_bucket.values()), min_tasks, 1)
+        key_hash = F.xxhash64(
+            F.lit("binpack"), *[F.col(k) for k in self.manifest.key_cols]
+        )
         if cluster is not None:
             # clustered rewrite (Z-order, or the 1-D leading-sort-column
             # case): instead of a key-hash salt (which spreads a bucket's
             # rows randomly over its files), split each bucket's files by
-            # CONTIGUOUS code ranges (the code's top bits) and sort each
-            # file by the code — every file then covers a small
-            # hyper-rectangle (interval, for 1-D) of the clustered
-            # columns, so per-file min/max stats prune on every clustered
-            # column (see lake/zorder.py). With ``parts_by_bucket``
-            # (binpack) the range count is per-bucket, so big buckets
-            # emit many range-contiguous target-sized files. Trailing
-            # ``sort_cols`` break code ties inside each file (for the 1-D
-            # sort case the code is monotone in the leading column, so
-            # (code, cols...) ordering == the full sort order).
-            zcol, zbits = cluster
+            # CONTIGUOUS code ranges and sort each file by the code —
+            # every file then covers a small hyper-rectangle (interval,
+            # for 1-D) of the clustered columns, so per-file min/max
+            # stats prune on every clustered column (see lake/zorder.py).
+            # ``domain`` is the EXACT code-value count (boundary dedup on
+            # low-cardinality columns shrinks it below 2^bits — scaling
+            # by the nominal bit width instead would collapse every row
+            # into range 0). When the target file count exceeds the code
+            # resolution, each range is further split by key hash so file
+            # SIZE holds at target: files sharing a range share its
+            # [min, max] — stats narrowing degrades to the resolution,
+            # never to the full domain. Trailing ``sort_cols`` break code
+            # ties inside each file (for the 1-D sort case the code is
+            # monotone in the leading column, so (code, cols...) ordering
+            # == the full sort order).
+            zcol, domain = cluster
+            domain = max(int(domain), 1)
             df = df.withColumn("_zcode", zcol)
             if parts_by_bucket:
-                groups = F.create_map(
-                    *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
-                      for v in (int(b), max(int(p), 1))]
+                ng = F.element_at(binpack_groups, F.col(BUCKET_COL))
+                eff = F.least(ng, F.lit(domain))
+                range_col = F.least(
+                    F.floor(F.col("_zcode") * eff / F.lit(domain)),
+                    eff - F.lit(1),
+                ).cast("int")
+                sub_n = F.greatest(
+                    F.ceil(ng / F.lit(domain)).cast("long"), F.lit(1)
                 )
-                ng = F.element_at(groups, F.col(BUCKET_COL))
-                range_col = F.least(
-                    F.floor(F.col("_zcode") * ng / F.lit(1 << zbits)),
-                    ng - F.lit(1),
-                ).cast("int")
-                slots = max(2 * sum(parts_by_bucket.values()), min_tasks, 1)
-                df = df.repartition(slots, F.col(BUCKET_COL), range_col)
+                df = df.repartition(
+                    cluster_slots, F.col(BUCKET_COL), range_col,
+                    F.pmod(key_hash, sub_n),
+                )
             else:
+                eff = min(salt, domain)
                 range_col = F.least(
-                    F.floor(F.col("_zcode") * salt / F.lit(1 << zbits)),
-                    F.lit(salt - 1),
+                    F.floor(F.col("_zcode") * eff / F.lit(domain)),
+                    F.lit(eff - 1),
                 ).cast("int")
-                df = df.repartition(parts, F.col(BUCKET_COL), range_col)
+                sub_n = max(1, -(-salt // domain))
+                split = [F.col(BUCKET_COL), range_col]
+                if sub_n > 1:
+                    split.append(F.pmod(key_hash, F.lit(sub_n)))
+                df = df.repartition(parts, *split)
             # projection after the sort preserves intra-partition order
             df = df.sortWithinPartitions(
                 BUCKET_COL, "_zcode", *list(sort_cols or [])
@@ -677,17 +708,10 @@ class LakeTable:
             df.write.partitionBy(BUCKET_COL).parquet(out_dir)
             return
         if parts_by_bucket:
-            groups = F.create_map(
-                *[F.lit(v) for b, p in sorted(parts_by_bucket.items())
-                  for v in (int(b), max(int(p), 1))]
-            )
             group_col = F.pmod(
-                F.xxhash64(F.lit("binpack"),
-                           *[F.col(k) for k in self.manifest.key_cols]),
-                F.element_at(groups, F.col(BUCKET_COL)),
+                key_hash, F.element_at(binpack_groups, F.col(BUCKET_COL))
             )
-            slots = max(2 * sum(parts_by_bucket.values()), min_tasks, 1)
-            df = df.repartition(slots, F.col(BUCKET_COL), group_col)
+            df = df.repartition(binpack_slots, F.col(BUCKET_COL), group_col)
             if sort_cols:
                 df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
             df.write.partitionBy(BUCKET_COL).parquet(out_dir)
@@ -2300,8 +2324,9 @@ class LakeTable:
             # them gives a row-uniform sample draw while each sampling
             # scan reads only (keys + the sampled column) — never the
             # payload width
-            cluster = zorder_column(df, list(zorder_cols), bits=int(zorder_bits),
-                                    hash_cols=self.manifest.key_cols)
+            zc, zb = zorder_column(df, list(zorder_cols), bits=int(zorder_bits),
+                                   hash_cols=self.manifest.key_cols)
+            cluster = (zc, 1 << zb)
         elif sort_cols:
             # file-level range clustering on the LEADING sort column
             # (Iceberg sort-strategy rewrites range-partition by the
@@ -2326,7 +2351,13 @@ class LakeTable:
                 hash_cols=self.manifest.key_cols,
             )
             if bounds[lead]:
-                cluster = (quantize_expr(lead, bounds[lead]), int(zorder_bits))
+                # domain = EXACT quantize-value count (len(bounds)+1 ≤
+                # 2^bits; boundary dedup shrinks it on low-cardinality
+                # columns) — the write scales ranges by it
+                cluster = (
+                    quantize_expr(lead, bounds[lead]),
+                    len(bounds[lead]) + 1,
+                )
         parts_by_bucket = None
         if target_file_mb:
             if zorder_cols:

@@ -33,6 +33,8 @@ a replica tails the replica's own changelog).
 
 from __future__ import annotations
 
+import os
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,20 +43,39 @@ from pyspark.sql import functions as F
 from synapse_etl_jobs_spark.lake import LakeTable
 
 
-def changelog_to_events(batch_df: DataFrame) -> DataFrame:
+def changelog_to_events(
+    batch_df: DataFrame, op_col: str = "op", seq_col: str = "seq"
+) -> DataFrame:
     """Reshape a changelog micro-batch (``_seq`` / ``_deleted`` rows, the
     shape ``changes()`` and ``synlake_cdc`` emit) into a merge-ready
-    change-event batch (``op`` / ``seq`` columns)."""
+    change-event batch (``op_col`` / ``seq_col`` columns). Raises when a
+    chosen envelope name collides with a source payload column — the
+    overwrite would silently corrupt that column in the replica (pass
+    different names; the replication loop picks collision-free ones
+    automatically)."""
+    for c in (op_col, seq_col):
+        if c in batch_df.columns:
+            raise ValueError(
+                f"envelope column {c!r} collides with a source payload "
+                "column — pass a different op_col/seq_col"
+            )
     return (
         batch_df.withColumn(
-            "op",
+            op_col,
             F.when(
                 F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("DELETE")
             ).otherwise(F.lit("UPSERT")),
         )
-        .withColumnRenamed("_seq", "seq")
+        .withColumnRenamed("_seq", seq_col)
         .drop("_deleted")
     )
+
+
+def _free_name(base: str, taken: "list[str]") -> str:
+    name = base
+    while name in taken:
+        name += "_"
+    return name
 
 
 def _apply_fn(spark: SparkSession, replica_path: str, stream_id: str,
@@ -62,11 +83,17 @@ def _apply_fn(spark: SparkSession, replica_path: str, stream_id: str,
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # envelope names must not collide with payload columns (a source
+        # table may legitimately have columns named "op" or "seq")
+        op_col = _free_name("_repl_op", batch_df.columns)
+        seq_col = _free_name("_repl_seq", batch_df.columns)
         # fresh handle per micro-batch: the replica's manifest advances
         # under this loop, and a long-lived handle would race itself
         tb = LakeTable.load(spark, replica_path)
         tb.merge(
-            changelog_to_events(batch_df),
+            changelog_to_events(batch_df, op_col, seq_col),
+            op_col=op_col,
+            seq_col=seq_col,
             batch_id=int(batch_id),
             stream_id=stream_id,
             **merge_kwargs,
@@ -80,7 +107,7 @@ def replicate_stream(
     replica_path: str,
     checkpoint_dir: str,
     *,
-    stream_id: str = "replicate",
+    stream_id: "str | None" = None,
     starting_version: int = 0,
     max_versions_per_trigger: int | None = None,
     trigger_once: bool = True,
@@ -97,10 +124,27 @@ def replicate_stream(
     query. ``max_versions_per_trigger`` bounds catch-up batches
     (backpressure); ``merge_kwargs`` forward to the replica's ``merge``
     (e.g. ``salt_buckets`` for a hot-key replica).
+
+    Exactly-once keys on ``(stream_id, Spark micro-batch id)``, and a
+    FRESH checkpoint restarts batch numbering at 0 — so the default
+    stream id is derived from a token stored inside the checkpoint dir:
+    resuming the same checkpoint keeps the same id (redelivery
+    short-circuits), while a NEW checkpoint (the prescribed re-sync
+    flow after a rollback/expiry error, or a second source replicating
+    into the same replica) gets a fresh id instead of silently matching
+    the previous incarnation's markers. Pass an explicit ``stream_id``
+    only if you also own that collision story.
     """
+    from synapse_etl_jobs_spark.lake.fs import filesystem_for
     from synapse_etl_jobs_spark.sources.lake_datasource import register
 
     register(spark)
+    if stream_id is None:
+        fs = filesystem_for(checkpoint_dir, spark)
+        fs.mkdirs(checkpoint_dir, exist_ok=True)
+        tok_path = os.path.join(checkpoint_dir, "_synlake_replica_id")
+        fs.write_text_if_absent(tok_path, uuid.uuid4().hex[:12])
+        stream_id = "replicate-" + fs.read_text(tok_path).strip()
     reader = (
         spark.readStream.format("synlake_cdc")
         .option("path", source_path)

@@ -79,3 +79,46 @@ def test_replicate_chain(spark, tmp_path):
     replicate_once(spark, a.path, b.path, str(tmp_path / "ck_ab"))
     replicate_once(spark, b.path, c.path, str(tmp_path / "ck_bc"))
     assert _state(LakeTable.load(spark, c.path)) == _state(a)
+
+
+def test_replicate_source_with_op_and_seq_payload_columns(spark, tmp_path):
+    """A source whose PAYLOAD schema contains columns named op/seq must
+    replicate without corrupting them (envelope names are picked
+    collision-free)."""
+    schema = (StructType().add("k", "long").add("op", "string")
+              .add("seq", "long").add("v", "string"))
+    src = LakeTable.create(spark, str(tmp_path / "src"), schema, ["k"],
+                           num_buckets=2, write_mode="mor")
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), schema, ["k"],
+                           num_buckets=2, write_mode="mor")
+    ev = spark.createDataFrame(
+        [("UPSERT", 1, 1, "user-op", 42, "x"),
+         ("UPSERT", 2, 2, "other", 7, "y")],
+        "_op string, _seq long, k long, op string, seq long, v string",
+    )
+    src.merge(ev, op_col="_op", seq_col="_seq", batch_id=0)
+    from synapse_etl_jobs_spark.streaming import replicate_once
+    replicate_once(spark, src.path, rep.path, str(tmp_path / "ckpt"))
+    got = {r["k"]: (r["op"], r["seq"], r["v"])
+           for r in LakeTable.load(spark, rep.path).read().collect()}
+    assert got == {1: ("user-op", 42, "x"), 2: ("other", 7, "y")}
+
+
+def test_fresh_checkpoint_does_not_collide_with_stale_markers(spark, tmp_path):
+    """The re-sync flow: replicate, then restart with a NEW checkpoint
+    against the same replica — the new incarnation's batch 0 must NOT be
+    swallowed by the previous incarnation's batch-0 marker."""
+    from synapse_etl_jobs_spark.streaming import replicate_once
+
+    src, rep = _mk_pair(spark, tmp_path)
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    replicate_once(spark, src.path, rep.path, str(tmp_path / "ck1"))
+    src = LakeTable.load(spark, src.path)
+    src.merge(_ev(spark, [("UPSERT", 2, 2, "b")]), batch_id=1)
+    # fresh checkpoint: its availableNow pass renumbers batches from 0
+    replicate_once(spark, src.path, rep.path, str(tmp_path / "ck2"))
+    assert _state(LakeTable.load(spark, rep.path)) == _state(src)
+    # and resuming ck2 is still exactly-once (same incarnation token)
+    v = LakeTable.load(spark, rep.path).manifest.table_version
+    replicate_once(spark, src.path, rep.path, str(tmp_path / "ck2"))
+    assert LakeTable.load(spark, rep.path).manifest.table_version == v

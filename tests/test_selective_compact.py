@@ -99,10 +99,12 @@ def test_sorted_binpack_range_splits_files(spark, tmp_path):
         batch_id=0,
     )
     before = {(r["k"], r["v"]) for r in t.read().collect()}
-    t.compact(sort_cols=["v"], target_file_mb=0.002)
+    t.compact(sort_cols=["v"], target_file_mb=0.0008)
     assert {(r["k"], r["v"]) for r in t.read().collect()} == before
     entries = [e for lst in t.manifest.buckets.values() for e in lst]
-    assert len(entries) > 4
+    # ~8 wanted files/bucket; hash-slot collisions may merge a couple of
+    # adjacent ranges, never most of them
+    assert len(entries) >= 10
     # v is v0000..v0999 uniformly; average per-file span must be a small
     # fraction of the domain (key-hash splitting leaves it near 1.0)
     spans = []
@@ -110,3 +112,34 @@ def test_sorted_binpack_range_splits_files(spark, tmp_path):
         lo, hi = e["stats"]["v"]
         spans.append((int(hi[1:]) - int(lo[1:])) / 1000.0)
     assert sum(spans) / len(spans) < 0.5, spans
+
+
+def test_sorted_binpack_low_cardinality_and_resolution_cap(spark, tmp_path):
+    """Two guards on the range-split binpack: (a) a low-cardinality lead
+    column (boundaries dedup far below 2^bits) must still spread rows
+    over many files (exact-domain scaling — nominal-bit scaling would
+    collapse every row into range 0), and (b) per-range key-hash
+    sub-splitting keeps file sizes near target when the wanted file
+    count exceeds the code resolution."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        num_buckets=1, write_mode="mor",
+    )
+    # 3 distinct v values over 3000 rows -> boundaries dedup to <= 2
+    rows = [("UPSERT", i, i, f"v{i % 3}") for i in range(3000)]
+    t.merge(
+        spark.createDataFrame(rows, "op string, seq long, k long, v string"),
+        batch_id=0,
+    )
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    t.compact(sort_cols=["v"], target_file_mb=0.002)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    entries = [e for lst in t.manifest.buckets.values() for e in lst]
+    # more files than the 3 achievable ranges: the sub-split worked
+    # (without it the range split alone caps the bucket at 3 files)
+    assert len(entries) > 3, len(entries)
+    # and every file still covers at most one value of v (range purity
+    # within the resolution the column allows)
+    for e in entries:
+        lo, hi = e["stats"]["v"]
+        assert lo == hi, (lo, hi)

@@ -94,6 +94,10 @@ def main() -> None:
         p.error("--replica with --vacuum-every needs --retain-versions >= 4 "
                 "(a compact cycle moves the head 2 versions while the "
                 "replica is 1 cycle behind)")
+    if args.replica and args.mode == "cow":
+        p.error("--replica needs --mode mor: copy-on-write commits carry "
+                "no per-row change record for the synlake_cdc stream to "
+                "tail (it would fail at the first sync, minutes in)")
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
