@@ -87,6 +87,11 @@ def _apply_fn(spark: SparkSession, replica_path: str, stream_id: str,
         # table may legitimately have columns named "op" or "seq")
         op_col = _free_name("_repl_op", batch_df.columns)
         seq_col = _free_name("_repl_seq", batch_df.columns)
+        # a follower mirrors the source's schema: when the source
+        # evolved (added columns) and the stream restarted with the new
+        # reader schema, the replica grows the column instead of
+        # silently dropping the new values (caller may override)
+        merge_kwargs.setdefault("auto_evolve", True)
         # fresh handle per micro-batch: the replica's manifest advances
         # under this loop, and a long-lived handle would race itself
         tb = LakeTable.load(spark, replica_path)

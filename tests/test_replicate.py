@@ -122,3 +122,29 @@ def test_fresh_checkpoint_does_not_collide_with_stale_markers(spark, tmp_path):
     v = LakeTable.load(spark, rep.path).manifest.table_version
     replicate_once(spark, src.path, rep.path, str(tmp_path / "ck2"))
     assert LakeTable.load(spark, rep.path).manifest.table_version == v
+
+
+def test_replicate_follows_source_schema_evolution(spark, tmp_path):
+    """Source adds a column; the next replication pass (fresh reader, new
+    schema) grows the replica's schema instead of dropping the values."""
+    from synapse_etl_jobs_spark.streaming import replicate_once
+
+    src, rep = _mk_pair(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    replicate_once(spark, src.path, rep.path, ckpt)
+
+    src = LakeTable.load(spark, src.path)
+    src.evolve_schema(add_columns=[("stars", "long")])
+    src.merge(
+        spark.createDataFrame(
+            [("UPSERT", 5, 2, "b", 42)],
+            "op string, seq long, k long, v string, stars long",
+        ),
+        batch_id=1,
+    )
+    replicate_once(spark, src.path, rep.path, ckpt)
+    rep2 = LakeTable.load(spark, rep.path)
+    assert "stars" in rep2.read().columns
+    got = {r["k"]: (r["v"], r["stars"]) for r in rep2.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 42)}
