@@ -79,8 +79,12 @@ def _free_name(base: str, taken: "list[str]") -> str:
 
 
 def _apply_fn(spark: SparkSession, replica_path: str, stream_id: str,
-              merge_kwargs: dict):
+              merge_kwargs: dict, where: "str | None" = None):
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if where is not None:
+            # key-only predicate (validated by replicate_stream):
+            # decidable on every row incl. tombstones, immutable per key
+            batch_df = batch_df.filter(where)
         if batch_df.isEmpty():
             return
         # envelope names must not collide with payload columns (a source
@@ -116,6 +120,7 @@ def replicate_stream(
     starting_version: int = 0,
     max_versions_per_trigger: int | None = None,
     trigger_once: bool = True,
+    where: "str | None" = None,
     **merge_kwargs: Any,
 ):
     """Tail ``source_path``'s changelog into the replica table at
@@ -129,6 +134,18 @@ def replicate_stream(
     query. ``max_versions_per_trigger`` bounds catch-up batches
     (backpressure); ``merge_kwargs`` forward to the replica's ``merge``
     (e.g. ``salt_buckets`` for a hot-key replica).
+
+    ``where`` filters the changelog before it is applied — a PARTIAL
+    replica (fan-out routing: one firehose table into per-language /
+    per-tenant followers, each follower paying only for its slice).
+    The predicate must be decidable on EVERY changelog row, including
+    tombstones, or the replica diverges — tombstones carry NULL
+    payload columns, so in practice the predicate must depend only on
+    KEY columns (non-null on every row; also immutable, so a key can
+    never "leave" the predicate and strand a stale replica row). This
+    is enforced: predicates referencing non-key columns are rejected
+    (the classic filtered-CDC divergence, refused rather than
+    documented away).
 
     Exactly-once keys on ``(stream_id, Spark micro-batch id)``, and a
     FRESH checkpoint restarts batch numbering at 0 — so the default
@@ -144,6 +161,18 @@ def replicate_stream(
     from synapse_etl_jobs_spark.sources.lake_datasource import register
 
     register(spark)
+    if where is not None:
+        src = LakeTable.load(spark, source_path)
+        refs = src._sql_refs(where)
+        keys = set(src.manifest.key_cols)
+        if refs is None or not set(refs).issubset(keys):
+            raise ValueError(
+                f"replication filter {where!r} must be a parseable SQL "
+                f"predicate over KEY columns only ({sorted(keys)}): "
+                "tombstones carry null payload columns and non-key values "
+                "can change, so any other predicate diverges the replica "
+                "(rows silently kept or stranded)"
+            )
     if stream_id is None:
         fs = filesystem_for(checkpoint_dir, spark)
         fs.mkdirs(checkpoint_dir, exist_ok=True)
@@ -162,7 +191,7 @@ def replicate_stream(
     writer = (
         reader.load()
         .writeStream.foreachBatch(
-            _apply_fn(spark, replica_path, stream_id, merge_kwargs)
+            _apply_fn(spark, replica_path, stream_id, merge_kwargs, where)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -148,3 +148,30 @@ def test_replicate_follows_source_schema_evolution(spark, tmp_path):
     assert "stars" in rep2.read().columns
     got = {r["k"]: (r["v"], r["stars"]) for r in rep2.read().collect()}
     assert got == {1: ("a", None), 2: ("b", 42)}
+
+
+def test_filtered_partial_replica(spark, tmp_path):
+    """where= routes a slice of the firehose into a partial replica —
+    upserts AND deletes for matching keys flow, everything else is
+    dropped; non-key predicates are refused (filtered-CDC divergence)."""
+    from synapse_etl_jobs_spark.streaming import replicate_once
+
+    src, rep = _mk_pair(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a"), ("UPSERT", 2, 2, "b"),
+                          ("UPSERT", 3, 11, "c")]), batch_id=0)
+    replicate_once(spark, src.path, rep.path, ckpt, where="k >= 10")
+    assert _state(LakeTable.load(spark, rep.path)) == {(11, "c")}
+
+    src = LakeTable.load(spark, src.path)
+    src.merge(_ev(spark, [("DELETE", 4, 11, None), ("UPSERT", 5, 12, "d"),
+                          ("UPSERT", 6, 3, "x")]), batch_id=1)
+    replicate_once(spark, src.path, rep.path, ckpt, where="k >= 10")
+    assert _state(LakeTable.load(spark, rep.path)) == {(12, "d")}
+
+    with pytest.raises(ValueError, match="KEY columns only"):
+        replicate_once(spark, src.path, rep.path, str(tmp_path / "ck2"),
+                       where="v = 'a'")
+    with pytest.raises(ValueError, match="KEY columns only"):
+        replicate_once(spark, src.path, rep.path, str(tmp_path / "ck3"),
+                       where="not_a_column > 1")
