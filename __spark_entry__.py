@@ -1321,6 +1321,45 @@ def q_cdc_replication(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cdc_replication_filtered(spark, sf_dir) -> DataFrame:
+    """Partial replica (fan-out routing): same replication loop as
+    ``cdc_replication`` but with ``where`` restricted to a key-column
+    slice — upserts AND tombstones for matching keys flow, everything
+    else is dropped before the replica merge (the predicate is
+    key-only by enforced contract, so filtered CDC cannot diverge).
+    Oracle = the LWW final state filtered by the same predicate."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import ReplayDriver, replicate_once
+
+    ev = _cdc_events(spark, sf_dir)
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    base = _tmpdir("lake_replf_")
+    src = LakeTable.create(
+        spark, base + "/src", schema, ["user_id"], num_buckets=8,
+        write_mode="mor",
+    )
+    ReplayDriver(src, num_batches=3).replay(ev)
+    LakeTable.create(
+        spark, base + "/rep", schema, ["user_id"], num_buckets=4,
+        write_mode="mor",
+    )
+    replicate_once(
+        spark, src.path, base + "/rep", base + "/ckpt",
+        where="user_id % 4 = 1",
+    )
+    rep = LakeTable.load(spark, base + "/rep")
+    return rep.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "value", F.col("_seq").alias("seq")
+    )
+
+
 def q_lake_schema_evolution(spark, sf_dir) -> DataFrame:
     """Mid-stream schema evolution: merge epoch-0 batch, rename value→val
     and add column k, merge epoch-1 batch with the new shape; epoch-0
@@ -3095,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_maintained": q_cdc_replay_maintained,
         "cdc_row_maintenance": q_cdc_row_maintenance,
         "cdc_replication": q_cdc_replication,
+        "cdc_replication_filtered": q_cdc_replication_filtered,
         "lake_schema_evolution": q_lake_schema_evolution,
         "lake_point_scan": q_lake_point_scan,
         "lake_zorder_scan": q_lake_zorder_scan,
@@ -3955,6 +3995,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lake_merge_mor": _CDC_ORACLE,
         "cdc_replay_maintained": _CDC_ORACLE,
         "cdc_replication": _CDC_ORACLE,
+        "cdc_replication_filtered": f"""
+            WITH final_state AS ({_CDC_ORACLE})
+            SELECT user_id, event_type, value, seq
+            FROM final_state WHERE user_id % 4 = 1
+        """,
         "cdc_row_maintenance": f"""
             WITH final_state AS ({_CDC_ORACLE})
             SELECT user_id, event_type,
