@@ -175,3 +175,37 @@ def test_filtered_partial_replica(spark, tmp_path):
     with pytest.raises(ValueError, match="KEY columns only"):
         replicate_once(spark, src.path, rep.path, str(tmp_path / "ck3"),
                        where="not_a_column > 1")
+
+
+def test_replicate_stream_continuous_mode(spark, tmp_path):
+    """trigger_once=False returns a RUNNING query that keeps following
+    the source until stopped."""
+    import time
+
+    from synapse_etl_jobs_spark.streaming import replicate_stream
+
+    src, rep = _mk_pair(spark, tmp_path)
+    src.merge(_ev(spark, [("UPSERT", 1, 1, "a")]), batch_id=0)
+    q = replicate_stream(
+        spark, src.path, rep.path, str(tmp_path / "ckpt"),
+        trigger_once=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if _state(LakeTable.load(spark, rep.path)) == {(1, "a")}:
+                break
+            time.sleep(0.5)
+        assert _state(LakeTable.load(spark, rep.path)) == {(1, "a")}
+        # a commit made while the query is live flows without any new pass
+        LakeTable.load(spark, src.path).merge(
+            _ev(spark, [("UPSERT", 2, 2, "b")]), batch_id=1
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(_state(LakeTable.load(spark, rep.path))) == 2:
+                break
+            time.sleep(0.5)
+        assert _state(LakeTable.load(spark, rep.path)) == {(1, "a"), (2, "b")}
+    finally:
+        q.stop()
