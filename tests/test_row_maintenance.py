@@ -343,3 +343,68 @@ def test_predicate_bounds_in_and_between(spark, tmp_path):
     # non-literal member / type mismatch: contribute nothing
     assert t._predicate_bounds("stars IN (1, stars)") == {}
     assert t._predicate_bounds("stars IN ('a', 'b')") == {}
+
+
+# -- property pin: bounds-pruned reads == plain filtered reads --------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CMP = ["=", "<", "<=", ">", ">="]
+_conjunct = st.one_of(
+    st.tuples(st.just("stars"), st.sampled_from(_CMP),
+              st.integers(min_value=-5, max_value=205)),
+    st.tuples(st.just("lang"), st.sampled_from(_CMP),
+              st.sampled_from(["python", "go", "rust", "zz"])),
+    st.tuples(st.just("stars"), st.just("IN"),
+              st.lists(st.integers(min_value=-5, max_value=205),
+                       min_size=1, max_size=4)),
+    st.tuples(st.just("stars"), st.just("BETWEEN"),
+              st.tuples(st.integers(min_value=-5, max_value=205),
+                        st.integers(min_value=-5, max_value=205))),
+)
+
+
+def _render(conj):
+    col, op, val = conj
+    if op == "IN":
+        return f"{col} IN ({', '.join(str(v) for v in val)})"
+    if op == "BETWEEN":
+        return f"{col} BETWEEN {val[0]} AND {val[1]}"
+    lit = f"'{val}'" if isinstance(val, str) else str(val)
+    return f"{col} {op} {lit}"
+
+
+@pytest.fixture(scope="module")
+def sorted_table(spark, tmp_path_factory):
+    """200 rows, stars-sorted + binpacked so per-file [min,max] stats are
+    live and pruning actually fires for most generated predicates."""
+    t = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("prop") / "t"), SCHEMA, KEYS,
+        num_buckets=2, write_mode="mor", stats_cols=["stars"],
+    )
+    langs = ["python", "go", "rust"]
+    ev = spark.createDataFrame(
+        [(f"r{i}", f"f{i}.py", langs[i % 3], i, f"c{i}", "UPSERT", i)
+         for i in range(200)],
+        "repo string, path string, lang string, stars long, "
+        "content string, op string, seq long",
+    )
+    t.merge(ev, batch_id=0)
+    t.compact(sort_cols=["stars"], target_file_mb=0.001)
+    return t
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(conjs=st.lists(_conjunct, min_size=1, max_size=3))
+def test_read_where_soundness_property(sorted_table, conjs):
+    """For ANY conjunction of comparisons (including empty ranges,
+    out-of-domain literals, IN lists, inverted BETWEENs), the
+    bounds-pruned read returns EXACTLY the rows of the plain filtered
+    read — the superset contract can drop files, never rows."""
+    pred = " AND ".join(_render(c) for c in conjs)
+    t = sorted_table
+    a = {tuple(r) for r in t.read_where(pred).collect()}
+    b = {tuple(r) for r in t.read().filter(pred).collect()}
+    assert a == b, pred
