@@ -408,3 +408,51 @@ def test_read_where_soundness_property(sorted_table, conjs):
     a = {tuple(r) for r in t.read_where(pred).collect()}
     b = {tuple(r) for r in t.read().filter(pred).collect()}
     assert a == b, pred
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(perm=st.permutations(range(3)))
+def test_maintenance_interleaves_with_permuted_patches(spark, tmp_path_factory, perm):
+    """Order-insensitivity survives maintenance ops: a delete_where +
+    update_where issued against the same base state, with the upstream's
+    partial-patch batches redelivered in ANY order afterwards, converges
+    to one identical final state (per-column CRDT + per-key maintenance
+    seqs compose)."""
+    base = tmp_path_factory.mktemp("mperm")
+    patches = [
+        [(("r1", "a.py"), 50, "stars", 100)],   # beats the maintenance seq
+        [(("r2", "c.py"), 2, "stars", 999)],    # stale: loses everywhere
+        [(("r3", "e.py"), 60, "content", "NEW")],
+    ]
+
+    def run(order, path):
+        t = _seed_patch(spark, str(path))
+        t.delete_where("repo = 'r2'")
+        t.update_where("lang = 'python'", {"stars": "stars + 1"})
+        for j, bi in enumerate(order):
+            rows = [
+                (k[0], k[1], None,
+                 v if c == "stars" else None,
+                 v if c == "content" else None,
+                 "PATCH", seq, [c])
+                for (k, seq, c, v) in patches[bi]
+            ]
+            t.merge_patches(
+                spark.createDataFrame(
+                    rows,
+                    "repo string, path string, lang string, stars long, "
+                    "content string, op string, seq long, "
+                    "set_cols array<string>",
+                ),
+                batch_id=f"p{bi}",
+            )
+        return _state(t)
+
+    ref = run(range(3), base / "ref")
+    got = run(perm, base / "got")
+    assert got == ref
+    # sanity on the converged content: the late patch beat the update,
+    # the stale patch could not resurrect the deleted key
+    assert ref[("r1", "a.py")][1] == 100
+    assert ("r2", "c.py") not in ref
