@@ -1664,6 +1664,50 @@ def q_cdc_patch_merge_ooo(spark, sf_dir) -> DataFrame:
     return table.read().select("user_id", "event_type", "value")
 
 
+def q_cdc_replication_patch(spark, sf_dir) -> DataFrame:
+    """Replication of a PATCH-MODE source (round-5 ADVICE high fix):
+    the source applies the partial-column patch stream in three
+    ``merge_patches`` batches, then ONE ``replicate_once`` pass tails
+    its changelog — a single catch-up micro-batch bundling all three
+    physical versions, whose rows carry the per-column CRDT state
+    (``_cseq``/``_fold``). Pins two engine rules end-to-end: merge
+    never auto-evolves internal columns into the replica's user schema,
+    and the catch-up reduce orders multi-version keys by
+    (``_seq``, ``_fold``) so the replica lands on the source's exact
+    per-column state. Oracle = the same per-column LWW final state as
+    ``cdc_patch_merge`` (source ≡ replica ≡ oracle)."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+    from synapse_etl_jobs_spark.streaming import replicate_once
+
+    ev = _patch_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0] or 0
+    c1, c2 = hi // 3, 2 * hi // 3
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    base = _tmpdir("lake_repl_patch_")
+    src = LakeTable.create(spark, base + "/src", schema, ["user_id"],
+                           num_buckets=4, write_mode="mor")
+    src.merge_patches(ev.filter(F.col("seq") <= c1), stream_id="s", batch_id=0)
+    src.merge_patches(ev.filter((F.col("seq") > c1) & (F.col("seq") <= c2)),
+                      stream_id="s", batch_id=1)
+    src.merge_patches(ev.filter(F.col("seq") > c2), stream_id="s", batch_id=2)
+    LakeTable.create(spark, base + "/rep", schema, ["user_id"],
+                     num_buckets=8, write_mode="mor")
+    replicate_once(spark, src.path, base + "/rep", base + "/ckpt")
+    rep = LakeTable.load(spark, base + "/rep")
+    assert rep._patch_enabled, "replica must inherit patch mode"
+    internal = {"_seq", "_deleted", "_cseq", "_fold"}
+    user = {f.name for f in rep.manifest.current_schema().fields}
+    assert not user & internal, f"internal columns leaked into user schema: {user & internal}"
+    return rep.read().select("user_id", "event_type", "value")
+
+
 def q_lake_rebucket(spark, sf_dir) -> DataFrame:
     """Bucket-spec evolution under sustained ingest (``rebucket`` +
     ``auto_compact_min_deltas``, lake/table.py): replay the CDC stream
@@ -3140,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_zorder_scan": q_lake_zorder_scan,
         "cdc_patch_merge": q_cdc_patch_merge,
         "cdc_patch_merge_ooo": q_cdc_patch_merge_ooo,
+        "cdc_replication_patch": q_cdc_replication_patch,
         "lake_rollback": q_lake_rollback,
         "lake_rebucket": q_lake_rebucket,
         "lake_time_travel": q_lake_time_travel,
@@ -4585,4 +4630,7 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
     # same final state is the whole point of the out-of-order variant —
     # alias the oracle so the two can never silently diverge
     oracles["cdc_patch_merge_ooo"] = oracles["cdc_patch_merge"]
+    # the replica of a patch source must land on the identical
+    # per-column final state — alias the same oracle
+    oracles["cdc_replication_patch"] = oracles["cdc_patch_merge"]
     return oracles

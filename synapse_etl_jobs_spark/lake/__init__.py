@@ -20,3 +20,4 @@ Scale design:
 
 from synapse_etl_jobs_spark.lake.incremental import IncrementalAggView  # noqa: F401
 from synapse_etl_jobs_spark.lake.table import LakeTable  # noqa: F401
+from synapse_etl_jobs_spark.lake.txn import TxnLog  # noqa: F401

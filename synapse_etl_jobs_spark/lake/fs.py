@@ -124,6 +124,10 @@ class LocalFS:
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time, seconds since epoch."""
+        return os.path.getmtime(path)
+
     def pyarrow_path(self, path: str) -> str | None:
         """Path usable by driver-side pyarrow, or None if not local."""
         return path
@@ -294,6 +298,11 @@ class HadoopFS:
 
     def size(self, path: str) -> int:
         return self._fs(path).getFileStatus(self._path(path)).getLen()
+
+    def mtime(self, path: str) -> float:
+        """Last-modification time, seconds since epoch."""
+        st = self._fs(path).getFileStatus(self._path(path))
+        return st.getModificationTime() / 1000.0
 
     def upload(self, local_path: str, dst: str) -> None:
         """Copy a driver-local file to table storage (lineage append on

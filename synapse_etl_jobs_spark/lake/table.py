@@ -1259,6 +1259,49 @@ class LakeTable:
                 ).manifest
         raise AssertionError("unreachable")
 
+    def compact_with_retry(
+        self, *, max_retries: int = 3, **compact_kwargs: Any
+    ) -> dict[str, Any]:
+        """``compact`` under multi-writer contention. ``compact`` itself
+        already REBASES past rivals that only appended delta entries
+        (O(manifest), no recompute — see its commit loop); this wrapper
+        covers the non-rebasable conflicts (a CoW merge or rival
+        compaction rewrote files this pass read, a rebucket changed the
+        spec) by reloading the manifest and recomputing the rewrite over
+        the new parent — safe for the same reason as ``merge_with_retry``:
+        compaction is content-preserving, so recomputing over ANY newer
+        snapshot converges (the loser's orphaned rewrite files are
+        unreferenced and reclaimed by ``vacuum``)."""
+        if max_retries < 0:
+            raise ValueError("max_retries must be >= 0")
+        for attempt in range(max_retries + 1):
+            try:
+                return self.compact(**compact_kwargs)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                self.manifest = LakeTable.load(self.spark, self.path).manifest
+        raise AssertionError("unreachable")
+
+    def rebucket_with_retry(
+        self, num_buckets: int, *, max_retries: int = 3, **kwargs: Any
+    ) -> dict[str, Any]:
+        """``rebucket`` with reload-and-recompute on a lost commit race.
+        A rebucket can never rebase (the full rewrite re-hashes every
+        row, and a rival's delta files are bucketed under the OLD spec),
+        so every conflict recomputes — content-preserving, hence
+        convergent, like ``compact_with_retry``."""
+        if max_retries < 0:
+            raise ValueError("max_retries must be >= 0")
+        for attempt in range(max_retries + 1):
+            try:
+                return self.rebucket(num_buckets, **kwargs)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                self.manifest = LakeTable.load(self.spark, self.path).manifest
+        raise AssertionError("unreachable")
+
     def read_where(self, predicate: "str") -> DataFrame:
         """``read().filter(predicate)`` with plan-time file skipping: range
         bounds derived from the predicate's AND-conjuncts
@@ -1362,11 +1405,17 @@ class LakeTable:
             retired = set(m.props.get("dropped_cols", ()))
             # pass DataType objects, not simpleString(): Spark's
             # StructType.add rejects some short names ("int")
+            # internal engine columns (_seq/_deleted/_cseq/_fold) are
+            # never user schema: a changelog-replication batch (the
+            # synlake_cdc stream of a patch-mode source) legitimately
+            # carries _cseq/_fold, which merge threads explicitly below
+            # — evolving them as user columns would duplicate them in
+            # the stored schema and durably corrupt the replica
             new_cols = [
                 (f.name, f.dataType)
                 for f in updates.schema.fields
                 if f.name not in known and f.name not in envelope
-                and f.name not in retired
+                and f.name not in retired and f.name not in INTERNAL_COLS
             ]
             # type drift on KNOWN payload columns: a batch carrying a
             # safely-wider type (int→bigint, float→double) widens the
@@ -1432,12 +1481,33 @@ class LakeTable:
         # to uphold; a duplicate key would produce duplicate stored rows.
         if pre_reduced:
             pass
-        elif salt_buckets:
-            batch = dedup_lww_salted(batch, m.key_cols, SEQ_COL, salt_buckets)
-        elif dedup_strategy == "semijoin":
-            batch = dedup_lww_semijoin(batch, m.key_cols, SEQ_COL)
         else:
-            batch = dedup_lww(batch, m.key_cols, SEQ_COL, strategy=dedup_strategy)
+            # a patch-state batch (changelog replication of a patch-mode
+            # source) can carry two versions of a key at the SAME max
+            # ``_seq``: a later patch fold raises ``_fold``, not the max
+            # event seq. Order the reduce (``_seq``, ``_fold``) exactly
+            # like ``_lww_stored`` — each patch write's (_seq, _fold) is
+            # strictly above every older physical version and its row +
+            # ``_cseq`` subsume them (pointwise-max join), so the
+            # lexicographic winner is the fully-folded state. Plain
+            # batches keep the original payload-order tie-break.
+            reduce_in, orig = batch, None
+            if carries_patch_state:
+                orig = list(batch.columns)
+                rest = [c for c in orig if c not in (*m.key_cols, FOLD_COL)]
+                reduce_in = batch.select(
+                    *m.key_cols,
+                    F.coalesce(F.col(FOLD_COL), F.col(SEQ_COL)).alias(FOLD_COL),
+                    *rest,
+                )
+            if salt_buckets:
+                batch = dedup_lww_salted(reduce_in, m.key_cols, SEQ_COL, salt_buckets)
+            elif dedup_strategy == "semijoin":
+                batch = dedup_lww_semijoin(reduce_in, m.key_cols, SEQ_COL)
+            else:
+                batch = dedup_lww(reduce_in, m.key_cols, SEQ_COL, strategy=dedup_strategy)
+            if orig is not None:
+                batch = batch.select(*orig)
         staged_df = (
             batch.withColumn(BUCKET_COL, self._bucket_expr())
             .withColumn(DELETED_COL, F.col(OP_COL).isin(*DELETE_OPS))
@@ -2092,7 +2162,7 @@ class LakeTable:
         predicate: Any,
         *,
         seq: "int | None" = None,
-        stream_id: str = "maintenance",
+        stream_id: str = "maintenance-delete",
         batch_id: "int | str | None" = None,
         **merge_kwargs: Any,
     ) -> dict[str, Any]:
@@ -2113,7 +2183,10 @@ class LakeTable:
         tombstones keep it order-insensitive against redelivered stale
         events, ``batch_id`` gives exactly-once, lineage/metrics rows are
         emitted, and ``changes()`` / incremental-view consumers see
-        ordinary per-row change records. On patch-mode tables the delete
+        ordinary per-row change records. The default ``stream_id`` is
+        namespaced PER OP KIND (``maintenance-delete`` here vs
+        ``maintenance-update``), so a delete and an update issued with
+        the same ``batch_id`` never dedupe against each other. On patch-mode tables the delete
         routes through ``merge_patches`` so the per-column CRDT delete
         seq is recorded (a stale partial patch cannot resurrect the key).
 
@@ -2157,7 +2230,7 @@ class LakeTable:
         set_exprs: "dict[str, Any]",
         *,
         seq: "int | None" = None,
-        stream_id: str = "maintenance",
+        stream_id: str = "maintenance-update",
         batch_id: "int | str | None" = None,
         **merge_kwargs: Any,
     ) -> dict[str, Any]:
@@ -2214,6 +2287,20 @@ class LakeTable:
                 seq_expr.alias("seq"),
                 F.array(*[F.lit(c) for c in set_exprs]).alias("set_cols"),
             )
+            # widen first when a SET expression resolves safely wider
+            # than its column — merge_patches' normalization cast is
+            # non-ANSI and would silently wrap the value otherwise
+            # (same contract as the non-patch path below)
+            cur = m.current_schema()
+            widen = {
+                f.name: f.dataType
+                for f in batch.schema.fields
+                if f.name in set_exprs
+                and f.dataType.simpleString()
+                in self._WIDENINGS.get(cur[f.name].dataType.simpleString(), ())
+            }
+            if widen:
+                self.evolve_schema(widen_types=widen)
             res = self.merge_patches(
                 batch, stream_id=stream_id, batch_id=batch_id, **merge_kwargs
             )
@@ -2224,16 +2311,22 @@ class LakeTable:
         matched, prune_stats = self._matched_view(predicate, None)
         seq_expr = self._next_seq_expr(seq, CSEQ_COL in matched.columns)
         user_cols = [f.name for f in m.current_schema().fields]
+        # SET expressions keep their RESOLVED type — no eager cast to the
+        # column type. merge's auto-evolve then WIDENS the column when the
+        # expression resolves safely wider (int→bigint, float→double, via
+        # _WIDENINGS); the old eager non-ANSI cast silently wrapped such
+        # values. Non-widenable mismatches (e.g. string→int) still go
+        # through merge's normalization cast, as in SQL UPDATE.
         batch = matched.select(
             *[
-                (as_expr(set_exprs[c]).cast(m.current_schema()[c].dataType)
-                 if c in set_exprs else F.col(c)).alias(c)
+                (as_expr(set_exprs[c]) if c in set_exprs else F.col(c)).alias(c)
                 for c in user_cols
             ],
             F.lit("UPSERT").alias("op"),
             seq_expr.alias("seq"),
         )
         merge_kwargs.setdefault("pre_reduced", True)
+        merge_kwargs.setdefault("auto_evolve", True)
         res = self.merge(
             batch, op_col="op", seq_col="seq",
             stream_id=stream_id, batch_id=batch_id, **merge_kwargs,
@@ -2313,6 +2406,9 @@ class LakeTable:
         if sort_cols and zorder_cols:
             raise ValueError("sort_cols and zorder_cols are mutually exclusive")
         entries = [e for b in victims for e in m.buckets[str(b)]]
+        # what this compaction READ, per bucket — the rebase admissibility
+        # check below needs to know whether a racing commit preserved it
+        read_paths = {b: {e["path"] for e in m.buckets[str(b)]} for b in victims}
         df = self._current_view(entries)  # folds MoR deltas (victims only — exact: keys never cross buckets)
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -2392,35 +2488,78 @@ class LakeTable:
             zorder_cols or sort_cols or m.props.get("stats_cols") or []
         )
         col_stats = _file_column_stats(new_files, stat_cols, spark=self.spark, fs=self.fs)
-        new_buckets = dict(m.buckets)
-        new_buckets.update({
-            str(b): [
+        my_entries = {
+            b: [
                 {"path": fp, "schema_id": m.current_schema_id, "kind": "base",
                  **({"bloom": blooms[fp]} if fp in blooms else {}),
                  **({"stats": col_stats[fp]} if col_stats.get(fp) else {})}
                 for fp in written.get(b, [])
             ]
             for b in victims
-        })
-        new_manifest = Manifest(
-            table_version=new_version,
-            key_cols=m.key_cols,
-            bucket_cols=m.bucket_cols,
-            num_buckets=m.num_buckets,
-            current_schema_id=m.current_schema_id,
-            schemas=m.schemas,
-            buckets=new_buckets,
-            applied_batches=m.applied_batches,
-            parent_version=m.table_version,
-            props=m.props,
-            # state-preserving stamp: lets incremental consumers skip
-            # this version instead of refreshing (see Manifest.commit_kind)
-            commit_kind="compact",
-        )
-        self._commit_manifest(self.path, new_manifest, self.fs, ref_source=m)
+        }
+
+        def build(base: Manifest) -> Manifest:
+            # my rewritten base files replace EXACTLY the entries this
+            # compaction read; entries a rival commit added since (MoR
+            # deltas) stay stacked on top — the LWW fold is
+            # order-insensitive, so base-then-rival-deltas reads the
+            # same state as the serial compact-then-merge history
+            nb = dict(base.buckets)
+            for b in victims:
+                rivals = [
+                    e for e in base.buckets.get(str(b), [])
+                    if e["path"] not in read_paths[b]
+                ]
+                nb[str(b)] = my_entries[b] + rivals
+            return Manifest(
+                table_version=base.table_version + 1,
+                key_cols=base.key_cols,
+                bucket_cols=base.bucket_cols,
+                num_buckets=base.num_buckets,
+                current_schema_id=base.current_schema_id,
+                schemas=base.schemas,
+                buckets=nb,
+                applied_batches=base.applied_batches,
+                parent_version=base.table_version,
+                props=base.props,
+                # state-preserving stamp: lets incremental consumers skip
+                # this version instead of refreshing (see Manifest.commit_kind)
+                commit_kind="compact",
+            )
+
+        # commit with manifest-level REBASE: a rival merge landing
+        # mid-compaction only ADDS delta entries, so the rewrite is
+        # re-parented without recomputation (O(manifest), no data read).
+        # Non-rebasable conflicts — the rival rewrote/removed something
+        # this compaction read (CoW merge, another compaction, rollback),
+        # changed the bucket spec, or retired the write-epoch schema —
+        # raise ConcurrentWriteError; compact_with_retry recomputes then.
+        base, rebases = m, 0
+        while True:
+            new_manifest = build(base)
+            try:
+                self._commit_manifest(
+                    self.path, new_manifest, self.fs, ref_source=base
+                )
+                break
+            except ConcurrentWriteError:
+                head = LakeTable.load(self.spark, self.path).manifest
+                rebasable = (
+                    head.num_buckets == m.num_buckets
+                    and list(head.bucket_cols) == list(m.bucket_cols)
+                    and str(m.current_schema_id) in head.schemas
+                    and all(
+                        read_paths[b]
+                        <= {e["path"] for e in head.buckets.get(str(b), [])}
+                        for b in victims
+                    )
+                )
+                if not rebasable:
+                    raise
+                base, rebases = head, rebases + 1
         self.manifest = new_manifest
-        return {"applied": True, "table_version": new_version,
-                "compacted_buckets": victims,
+        return {"applied": True, "table_version": new_manifest.table_version,
+                "compacted_buckets": victims, "rebased_commits": rebases,
                 "files": sum(len(v) for v in written.values())}
 
     def rebucket(
@@ -2549,7 +2688,9 @@ class LakeTable:
         return {"applied": True, "rolled_back_to": version,
                 "table_version": new_manifest.table_version}
 
-    def vacuum(self, *, retain_versions: int = 1) -> dict:
+    def vacuum(
+        self, *, retain_versions: int = 1, grace_seconds: float = 0.0
+    ) -> dict:
         """Expire old table versions and delete unreferenced data files
         (Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog).
 
@@ -2560,8 +2701,31 @@ class LakeTable:
         a continuously merging table; CoW rewrites and compactions leave
         superseded files behind by design so readers of older snapshots
         are never broken until the retention decision is made).
+
+        ``grace_seconds`` is the MULTI-WRITER guard (Iceberg
+        ``remove_orphan_files(older_than)`` analog): files and staging
+        dirs modified within the window are NOT deleted, so a vacuum
+        racing an in-flight commit — whose freshly staged parquet is on
+        disk but whose manifest has not landed yet — cannot yank the
+        files out from under it (data loss: the rival's CAS commit would
+        then reference deleted files). The default 0 keeps the
+        single-maintainer behavior (delete everything unreferenced, the
+        in-loop maintenance shape); any process running vacuum
+        CONCURRENTLY with writers must pass a grace comfortably above
+        the longest write-stage-commit span it races.
         """
+        import time as _time
+
         retain_versions = max(int(retain_versions), 1)
+        cutoff = _time.time() - float(grace_seconds)
+
+        def _aged(p: str) -> bool:
+            if grace_seconds <= 0:
+                return True
+            try:
+                return self.fs.mtime(p) <= cutoff
+            except Exception:
+                return False  # raced a concurrent delete/rename: skip
         current = self.manifest.table_version
         keep_from = current - retain_versions + 1
         mdir = self._manifest_dir(self.path)
@@ -2605,7 +2769,7 @@ class LakeTable:
         deleted_data = 0
         data_root = os.path.join(self.path, "data")
         for fp, _sz in self.fs.list_files(data_root, ".parquet"):
-            if norm(fp) not in kept_files:
+            if norm(fp) not in kept_files and _aged(fp):
                 self.fs.delete(fp)
                 deleted_data += 1
         for mp in expired_manifests:
@@ -2615,15 +2779,16 @@ class LakeTable:
         # interrupted commits, whose root swap never happened)
         deleted_side = 0
         for sp, _sz in self.fs.list_files(os.path.join(mdir, "buckets"), ".json"):
-            if os.path.basename(sp) not in kept_refs:
+            if os.path.basename(sp) not in kept_refs and _aged(sp):
                 self.fs.delete(sp)
                 deleted_side += 1
         # failed CoW merges may leave orphaned staging dirs; reclaim them
-        # (safe: staging is only live DURING a merge, and the table is
-        # single-writer — vacuum is a maintenance call, not concurrent)
+        # (a CONCURRENT CoW merge's staging is live — grace_seconds
+        # shields it, same rule as the data files above)
         staging_root = os.path.join(self.path, "_staging")
         for d in self.fs.list_dirs(staging_root):
-            self.fs.delete(d)
+            if _aged(d):
+                self.fs.delete(d)
         # prune now-empty commit directories (local only — object stores
         # have no real directories and Hadoop delete(recursive=False)
         # refuses non-empty ones anyway)

@@ -163,6 +163,7 @@ def dedup_stream_into_table(
     prune_corpus_scan: bool = True,
     prune_max_values: int = 200_000,
     metrics_path: str | None = None,
+    txn_path: str | None = None,
 ) -> Any:
     """Tail a document stream into a near-dup-free corpus table.
 
@@ -200,7 +201,13 @@ def dedup_stream_into_table(
 
     ``metrics_path`` (opt-in): append one JSON line per applied batch —
     batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
-    histograms: ``bucket_histogram`` over the (band, bucket) group sizes
+    ``txn_path`` (opt-in): path of a cross-table ``TxnLog`` — after both
+    per-batch commits land, the (docs version, index version) pair is
+    published as one atomic record; readers loading the pair through
+    ``TxnLog.load_tables`` can never observe the index-committed/
+    docs-pending crash window (see ``lake/txn.py``).
+
+    ``metrics_path`` histograms: ``bucket_histogram`` over the (band, bucket) group sizes
     of the banding that ENTERED the probe/self joins (post-collapse,
     pre-cap — the ``max_bucket_size`` tuning signal, taken where the
     O(k²) hazard lives), and ``exact_class_histogram`` over the raw
@@ -212,6 +219,29 @@ def dedup_stream_into_table(
     """
     lsh = dict(shingle_k=shingle_k, num_hashes=num_hashes,
                bands=bands, seed=seed)
+
+    # ``txn_path`` (opt-in): after BOTH per-batch commits land, record
+    # {docs version, index version} in one atomically-created
+    # cross-table transaction record (lake/txn.py). Readers that load
+    # the pair through ``TxnLog.load_tables`` then see either all of a
+    # batch or none of it — the index-committed/docs-pending crash
+    # window stays crash-SAFE as before (commit order + redelivery) and
+    # becomes INVISIBLE to consistent readers. A crash after the
+    # commits but before the record is healed on redelivery (the no-op
+    # path re-records the now-current pair).
+    def _record_txn(spark, batch_id: int) -> None:
+        from synapse_etl_jobs_spark.lake.txn import TxnLog
+
+        log = TxnLog(txn_path, spark)
+        versions = {
+            docs_table.path: docs_table.manifest.table_version,
+            index_table.path: index_table.manifest.table_version,
+        }
+        rec = log.latest()
+        if rec is not None and rec["tables"] == versions:
+            return
+        log.commit(versions,
+                   meta={"stream_id": stream_id, "batch_id": int(batch_id)})
 
     # index tables created with store_digests carry (_dg, _batch): the
     # probe verifies threshold-1.0 pairs off index rows alone (no
@@ -237,6 +267,10 @@ def dedup_stream_into_table(
         if docs_table.is_batch_applied(
             stream_id, batch_id
         ) and index_table.is_batch_applied(stream_id, batch_id):
+            if txn_path is not None:
+                # heal a crash that landed both commits but lost the
+                # transaction record
+                _record_txn(batch_df.sparkSession, batch_id)
             return
         corpus = docs_table.read()
 
@@ -433,6 +467,9 @@ def dedup_stream_into_table(
                 ),
                 stream_id=stream_id, batch_id=batch_id,
             )
+            if txn_path is not None:
+                # both commits landed: publish the consistent pair
+                _record_txn(batch_df.sparkSession, batch_id)
             if metrics_path is not None:
                 # bounded (≤64 rows) skew histogram of the batch's
                 # signature groups; best-effort observability, written

@@ -52,7 +52,15 @@ def changelog_to_events(
     chosen envelope name collides with a source payload column — the
     overwrite would silently corrupt that column in the replica (pass
     different names; the replication loop picks collision-free ones
-    automatically)."""
+    automatically).
+
+    Patch-mode sources (``merge_patches`` / ``update_where``) emit their
+    per-column CRDT state (``_cseq`` / ``_fold``) in the changelog; it
+    passes through here UNTOUCHED and ``merge`` threads it explicitly —
+    flipping the replica to patch mode and reducing multi-version
+    catch-up batches by (``_seq``, ``_fold``), so a partial-replica of a
+    patch table converges to the source's exact per-column state (merge
+    never auto-evolves internal columns into user schema)."""
     for c in (op_col, seq_col):
         if c in batch_df.columns:
             raise ValueError(

@@ -48,10 +48,18 @@ from synapse_etl_jobs_spark.lake import LakeTable
 from synapse_etl_jobs_spark.streaming import ReplayDriver
 
 cores, n, batches, src = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+master = sys.argv[5] if len(sys.argv) > 5 else f"local[{{cores}}]"
 import os
 stage_stats_out = os.environ.get("SCALE_STAGE_STATS")
 extra = {{"spark.ui.enabled": "true", "spark.ui.port": "0"}} if stage_stats_out else None
-spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
+if master.startswith("local-cluster"):
+    # separate executor JVMs (real shuffle + serialization over
+    # loopback — the closest single-box analog of a multi-executor
+    # cluster): keep per-executor memory inside the worker allowance
+    extra = dict(extra or {{}})
+    extra.setdefault("spark.executor.memory",
+                     os.environ.get("SCALE_EXEC_MEM", "4g"))
+spark = get_spark(app_name=f"scale{{cores}}", master=master,
                   shuffle_partitions=cores, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 schema = (StructType().add("repo","string").add("path","string")
@@ -107,12 +115,13 @@ print(json.dumps({{"cores": cores, "wall_sec": round(wall,2),
 """
 
 
-def run_level(cores: int, n: int, batches: int, src: str) -> dict:
+def run_level(cores: int, n: int, batches: int, src: str,
+              master: str | None = None) -> dict:
     code = CHILD.format(repo=HERE)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n), str(batches), src],
-        capture_output=True, text=True, timeout=2400,
-    )
+    argv = [sys.executable, "-c", code, str(cores), str(n), str(batches), src]
+    if master is not None:
+        argv.append(master)
+    out = subprocess.run(argv, capture_output=True, text=True, timeout=2400)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
@@ -130,8 +139,22 @@ def main():
             [sys.executable, "-c", GEN.format(repo=HERE), str(n), src],
             check=True, capture_output=True, text=True, timeout=2400,
         )
-    small = run_level(c_small, n, batches, src)
-    big = run_level(c_big, n, batches, src)
+    # SCALE_MODE=executors: N vs 4N separate EXECUTOR JVMs
+    # (local-cluster) at a fixed per-executor core count — the north
+    # rule's "N and 4N executors" shape, with real executor-to-executor
+    # shuffle serialization that thread-local mode skips. c_small is
+    # reinterpreted as cores PER EXECUTOR; worker count scales 1 → 4.
+    masters = (None, None)
+    if os.environ.get("SCALE_MODE") == "executors":
+        per_exec = c_small
+        mem_mb = int(os.environ.get("SCALE_WORKER_MEM_MB", "6144"))
+        masters = (
+            f"local-cluster[1,{per_exec},{mem_mb}]",
+            f"local-cluster[4,{per_exec},{mem_mb}]",
+        )
+        c_big = 4 * c_small
+    small = run_level(c_small, n, batches, src, masters[0])
+    big = run_level(c_big, n, batches, src, masters[1])
     assert small["rows"] == big["rows"], "parallelism changed the result!"
     assert small["final_state_sha_xor"] == big["final_state_sha_xor"], \
         "parallelism changed final-state content (sha256 checksum differs)!"
@@ -139,6 +162,8 @@ def main():
     eff = speedup / (c_big / c_small)
     print(json.dumps({
         "events": n, "batches": batches,
+        "mode": os.environ.get("SCALE_MODE", "threads"),
+        **({"masters": list(masters)} if masters[0] else {}),
         "small": small, "big": big,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
