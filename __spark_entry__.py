@@ -1737,6 +1737,45 @@ def q_lake_rebucket(spark, sf_dir) -> DataFrame:
     return table.read().select("user_id", "event_type", "value")
 
 
+def q_lake_clone(spark, sf_dir) -> DataFrame:
+    """Zero-copy shallow clone (``LakeTable.clone`` — Delta SHALLOW
+    CLONE / Iceberg snapshot-ref analog): merge the FIRST half of the
+    change stream into a source table, fork it in one manifest commit
+    (no data read or copied), merge the SECOND half into the FORK only,
+    and return the fork's state. Oracle = the full-stream LWW final
+    state — and the query asserts in-line that the SOURCE still holds
+    exactly the first-half state (fork divergence is copy-on-write,
+    the source never notices). The dev-branch primitive at 10^10 rows:
+    fork, experiment, discard."""
+    from pyspark.sql.types import StructType
+
+    from synapse_etl_jobs_spark.lake import LakeTable
+
+    ev = _cdc_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0] or 0
+    mid = hi // 2
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("event_type", "string")
+        .add("value", "double")
+    )
+    base = _tmpdir("lake_clone_")
+    src = LakeTable.create(spark, base + "/src", schema, ["user_id"],
+                           num_buckets=4, write_mode="mor")
+    src.merge(ev.filter(F.col("seq") <= mid), batch_id=0)
+    v_fork = src.manifest.table_version
+    fork = src.clone(base + "/fork")
+    fork.merge(ev.filter(F.col("seq") > mid), batch_id=1)
+    # the source is untouched by the fork's merge
+    assert (LakeTable.load(spark, src.path).manifest.table_version
+            == v_fork), "fork merge advanced the SOURCE"
+    out = LakeTable.load(spark, fork.path)
+    return out.read(include_internal=True).filter(~F.col("_deleted")).select(
+        "user_id", "event_type", "value", F.col("_seq").alias("seq")
+    )
+
+
 def q_lake_rollback(spark, sf_dir) -> DataFrame:
     """Rollback to an earlier snapshot as a new commit (Iceberg
     ``rollback_to_snapshot``): merge two CDC batches, roll back to the
@@ -3185,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_merge": q_cdc_patch_merge,
         "cdc_patch_merge_ooo": q_cdc_patch_merge_ooo,
         "cdc_replication_patch": q_cdc_replication_patch,
+        "lake_clone": q_lake_clone,
         "lake_rollback": q_lake_rollback,
         "lake_rebucket": q_lake_rebucket,
         "lake_time_travel": q_lake_time_travel,
@@ -4633,4 +4673,6 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND user_id = 7
     # the replica of a patch source must land on the identical
     # per-column final state — alias the same oracle
     oracles["cdc_replication_patch"] = oracles["cdc_patch_merge"]
+    # fork state after replaying the second half = the full-stream LWW
+    oracles["lake_clone"] = _CDC_ORACLE
     return oracles

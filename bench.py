@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "pivot_events",
     "cdc_patch_merge",
+    "cdc_replication_patch",
+    "lake_clone",
     "cdc_replay_maintained",
     "lake_rebucket",
     "lake_zorder_scan",

@@ -2643,6 +2643,63 @@ class LakeTable:
             "bucket_cols": bucket_cols,
         }
 
+    def clone(
+        self, dest_path: str, *, version: int | None = None
+    ) -> "LakeTable":
+        """ZERO-COPY shallow clone (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / Iceberg snapshot-ref analog): create a NEW table at
+        ``dest_path`` whose first manifest references the SOURCE's data
+        files — no data is read or copied, the clone is one manifest
+        commit regardless of table size. The dev-branch / experiment
+        primitive at 10^10 rows: fork the table, merge/compact/evolve
+        the fork freely, throw it away — the source never notices.
+
+        Independence after the fork: writes to the clone stage files
+        under the CLONE's own path and commit to the clone's manifest
+        line (a CoW merge or compact on the clone reads shared source
+        files but writes replacements locally — divergence is
+        copy-on-write at bucket granularity). ``vacuum`` on the clone is
+        naturally safe: its data-file sweep only lists the clone's own
+        ``data/`` root, so shared files under the source are never
+        candidates. Batch markers are carried over, so an ingest driver
+        pointed at the clone resumes exactly-once from the fork point.
+
+        The one caveat is the same one Delta documents for shallow
+        clones: ``vacuum`` on the SOURCE does not know about clones and
+        can expire files a clone still references (clones are
+        unregistered by design — no central catalog). Fork-for-a-while
+        workflows should either pin source retention to cover the
+        clone's lifetime or ``compact()`` the clone (min_files=1
+        rewrites every bucket locally, after which it shares nothing).
+
+        ``version`` clones a historical snapshot (time-travel fork).
+        """
+        src = self.manifest
+        if version is not None:
+            src = LakeTable.load(self.spark, self.path, version=version).manifest
+        fs = filesystem_for(dest_path, self.spark)
+        if fs.exists(self._manifest_dir(dest_path)):
+            raise FileExistsError(self._manifest_dir(dest_path))
+        fs.mkdirs(self._manifest_dir(dest_path), exist_ok=False)
+        m = Manifest(
+            table_version=0,
+            key_cols=src.key_cols,
+            bucket_cols=src.bucket_cols,
+            num_buckets=src.num_buckets,
+            current_schema_id=src.current_schema_id,
+            schemas=src.schemas,
+            buckets=src.buckets,
+            applied_batches=src.applied_batches,
+            parent_version=None,
+            props={
+                **src.props,
+                "cloned_from": self.path,
+                "cloned_version": src.table_version,
+            },
+        )
+        self._commit_manifest(dest_path, m, fs)
+        return LakeTable.load(self.spark, dest_path)
+
     def rollback(self, version: int) -> dict:
         """Restore the table to an earlier ``version`` as a NEW commit
         (Iceberg ``rollback_to_snapshot`` semantics: the pointer moves
