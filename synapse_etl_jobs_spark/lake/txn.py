@@ -63,6 +63,18 @@ class TxnLog:
         txn_id = None
         if self.fs.exists(cur_path):
             txn_id = int(self.fs.read_text(cur_path).strip())
+        if txn_id is not None and not self.fs.exists(self._rec_path(txn_id)):
+            # pathological: CURRENT fell below the retention floor (a
+            # writer crashed before every pointer swap for > retain
+            # commits). Recover from the directory — without this,
+            # commit() would REUSE an expired id below the floor and
+            # break id monotonicity.
+            ids = [
+                int(os.path.basename(p)[1:-5])
+                for p, _sz in self.fs.list_files(self.path, ".json")
+                if os.path.basename(p).startswith("t")
+            ]
+            txn_id = max(ids) if ids else None
         probe = 0 if txn_id is None else txn_id + 1
         # probe forward: a writer crash between record create and the
         # pointer swap leaves a committed record the hint misses

@@ -63,6 +63,22 @@ def test_txn_log_probe_past_stale_pointer(tmp_path):
     assert log.commit({"/a": 3}) == 2
 
 
+def test_txn_log_recovers_pointer_below_retention_floor(tmp_path):
+    """A CURRENT pointer staler than the retention window must not make
+    commit() reuse an expired id (id monotonicity) nor latest() fail —
+    both recover via a directory listing."""
+    import os
+
+    log = TxnLog(str(tmp_path / "txn"), retain_records=2)
+    for i in range(6):
+        log.commit({"/a": i})
+    log.fs.write_text_atomic(os.path.join(log.path, "CURRENT"), "0")
+    fresh = TxnLog(str(tmp_path / "txn"), retain_records=2)
+    assert fresh.latest()["tables"] == {"/a": 5}
+    assert fresh.commit({"/a": 9}) == 6
+    assert TxnLog(str(tmp_path / "txn")).latest()["tables"] == {"/a": 9}
+
+
 def test_crash_between_commits_is_invisible_to_txn_readers(spark, tmp_path):
     docs, index = create_dedup_tables(
         spark, str(tmp_path / "docs"), str(tmp_path / "ix"), DOC_SCHEMA,

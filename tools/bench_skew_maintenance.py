@@ -73,17 +73,22 @@ def main() -> None:
     # (deterministic on (path, commit), so keys stay consistent).
     # Result: one storage bucket holds ~50% of the table's final rows.
     hot = "org0/hotrepo"
-    ev = flatten_events(
+    # spill the event stream to parquet once instead of caching 64M wide
+    # rows in executor memory (persist() thrashes the block manager at
+    # this size on one JVM); range-partition by seq so each replay batch
+    # maps to many active scan tasks
+    ev_path = os.path.join(root, "events")
+    flatten_events(
         synth_change_events(spark, n, seed=42, n_keys=n // 4)
     ).withColumn(
         "repo",
         F.when(F.pmod(F.xxhash64("path", "commit"), F.lit(2)) == 0,
                F.lit(hot)).otherwise(F.col("repo")),
-    ).persist()
+    ).repartitionByRange(max(64, n // 250_000), "seq").write.parquet(ev_path)
+    ev = spark.read.parquet(ev_path)
     ReplayDriver(t, batch_events=max(n // 8, 1)).replay(
         ev, seq_start=0, seq_end=n
     )
-    ev.unpersist()
     t = LakeTable.load(spark, t.path)
     base_version = t.manifest.table_version
 
