@@ -60,7 +60,11 @@ def changelog_to_events(
     flipping the replica to patch mode and reducing multi-version
     catch-up batches by (``_seq``, ``_fold``), so a partial-replica of a
     patch table converges to the source's exact per-column state (merge
-    never auto-evolves internal columns into user schema)."""
+    never auto-evolves internal columns into user schema). A source
+    flipped to patch mode MID-stream is picked up when the stream
+    restarts with the widened reader schema — the same contract as
+    source schema evolution (a long-running continuous query keeps its
+    launch-time schema until restarted)."""
     for c in (op_col, seq_col):
         if c in batch_df.columns:
             raise ValueError(
