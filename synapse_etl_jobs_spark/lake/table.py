@@ -1218,6 +1218,21 @@ class LakeTable:
             .drop(*INTERNAL_COLS)
         )
 
+    def _with_conflict_retry(self, op, max_retries: int):
+        """Shared reload-and-retry loop for optimistic-concurrency ops:
+        run ``op()``; on ConcurrentWriteError adopt the rival's commit
+        as the new parent and retry, up to ``max_retries`` times."""
+        if max_retries < 0:
+            raise ValueError("max_retries must be >= 0")
+        for attempt in range(max_retries + 1):
+            try:
+                return op()
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                self.manifest = LakeTable.load(self.spark, self.path).manifest
+        raise AssertionError("unreachable")
+
     def merge_with_retry(
         self,
         updates: DataFrame,
@@ -1244,20 +1259,10 @@ class LakeTable:
         Raises the last ``ConcurrentWriteError`` when retries are
         exhausted (sustained contention: callers should coordinate
         writers rather than spin)."""
-        if max_retries < 0:
-            raise ValueError("max_retries must be >= 0")
         op = self.merge_patches if patches else self.merge
-        for attempt in range(max_retries + 1):
-            try:
-                return op(updates, **merge_kwargs)
-            except ConcurrentWriteError:
-                if attempt == max_retries:
-                    raise
-                # adopt the rival's commit as the new parent
-                self.manifest = LakeTable.load(
-                    self.spark, self.path
-                ).manifest
-        raise AssertionError("unreachable")
+        return self._with_conflict_retry(
+            lambda: op(updates, **merge_kwargs), max_retries
+        )
 
     def compact_with_retry(
         self, *, max_retries: int = 3, **compact_kwargs: Any
@@ -1272,16 +1277,9 @@ class LakeTable:
         compaction is content-preserving, so recomputing over ANY newer
         snapshot converges (the loser's orphaned rewrite files are
         unreferenced and reclaimed by ``vacuum``)."""
-        if max_retries < 0:
-            raise ValueError("max_retries must be >= 0")
-        for attempt in range(max_retries + 1):
-            try:
-                return self.compact(**compact_kwargs)
-            except ConcurrentWriteError:
-                if attempt == max_retries:
-                    raise
-                self.manifest = LakeTable.load(self.spark, self.path).manifest
-        raise AssertionError("unreachable")
+        return self._with_conflict_retry(
+            lambda: self.compact(**compact_kwargs), max_retries
+        )
 
     def rebucket_with_retry(
         self, num_buckets: int, *, max_retries: int = 3, **kwargs: Any
@@ -1291,16 +1289,9 @@ class LakeTable:
         row, and a rival's delta files are bucketed under the OLD spec),
         so every conflict recomputes — content-preserving, hence
         convergent, like ``compact_with_retry``."""
-        if max_retries < 0:
-            raise ValueError("max_retries must be >= 0")
-        for attempt in range(max_retries + 1):
-            try:
-                return self.rebucket(num_buckets, **kwargs)
-            except ConcurrentWriteError:
-                if attempt == max_retries:
-                    raise
-                self.manifest = LakeTable.load(self.spark, self.path).manifest
-        raise AssertionError("unreachable")
+        return self._with_conflict_retry(
+            lambda: self.rebucket(num_buckets, **kwargs), max_retries
+        )
 
     def read_where(self, predicate: "str") -> DataFrame:
         """``read().filter(predicate)`` with plan-time file skipping: range
@@ -2200,6 +2191,15 @@ class LakeTable:
         (exactly-once bookkeeping), writing zero files.
         """
         self._reject_fixed_merge_kwargs(merge_kwargs)
+        if (batch_id is not None and stream_id.startswith("maintenance-")
+                and self.is_batch_applied("maintenance", batch_id)):
+            # upgrade continuity: markers recorded by the pre-namespacing
+            # release lived under the shared "maintenance" stream — honor
+            # them so a redelivered old batch cannot double-apply (the
+            # cost is the old cross-op-kind false dedupe, but only for
+            # batch ids that predate the upgrade)
+            return {"applied": False, "reason": "batch_already_applied",
+                    "table_version": self.manifest.table_version}
         matched, prune_stats = self._matched_view(
             predicate, self._sql_refs(predicate)
         )
@@ -2252,6 +2252,15 @@ class LakeTable:
         column), so their predicate scan is full-width by necessity.
         """
         self._reject_fixed_merge_kwargs(merge_kwargs)
+        if (batch_id is not None and stream_id.startswith("maintenance-")
+                and self.is_batch_applied("maintenance", batch_id)):
+            # upgrade continuity: markers recorded by the pre-namespacing
+            # release lived under the shared "maintenance" stream — honor
+            # them so a redelivered old batch cannot double-apply (the
+            # cost is the old cross-op-kind false dedupe, but only for
+            # batch ids that predate the upgrade)
+            return {"applied": False, "reason": "batch_already_applied",
+                    "table_version": self.manifest.table_version}
         m = self.manifest
         fields = set(m.current_schema().fieldNames())
         if not set_exprs:
@@ -2554,6 +2563,25 @@ class LakeTable:
                         for b in victims
                     )
                 )
+                # a TOMBSTONE-DROPPING rewrite is only content-complete
+                # under the caller's retention contract; stacking a
+                # rival's delta (which may carry a redelivered stale
+                # event an erased tombstone guarded) on top would also
+                # make a state-CHANGING transition wear the
+                # state-preserving "compact" stamp, silently diverging
+                # incremental consumers. Refuse the rebase whenever the
+                # rival touched a victim bucket and tombstones were
+                # dropped — compact_with_retry recomputes over the new
+                # parent with the tombstones back in view. Rebase stays
+                # unconditional for tombstone-KEEPING rewrites (the
+                # auto-compaction path) and for rivals that only touched
+                # other buckets.
+                if rebasable and drop_tombstones:
+                    rebasable = all(
+                        {e["path"] for e in head.buckets.get(str(b), [])}
+                        <= read_paths[b]
+                        for b in victims
+                    )
                 if not rebasable:
                     raise
                 base, rebases = head, rebases + 1
@@ -2770,6 +2798,17 @@ class LakeTable:
         in-loop maintenance shape); any process running vacuum
         CONCURRENTLY with writers must pass a grace comfortably above
         the longest write-stage-commit span it races.
+
+        Scope of the guard: age shields NEWLY WRITTEN files only. A
+        concurrent commit that RE-REFERENCES historical files —
+        ``rollback`` to an old version, ``clone(version=...)``, or any
+        reader pinned by time travel — is protected by RETENTION, not
+        grace: vacuum deletes exactly what falls outside
+        ``retain_versions``, so size retention to cover the oldest
+        version such an operation may still re-reference (``rollback``
+        of an expired version fails loudly at load; the narrow window
+        where it loaded just before expiry remains a single-maintainer
+        concern, same as Iceberg's expire-vs-rollback race).
         """
         import time as _time
 

@@ -121,10 +121,21 @@ class TxnLog:
     def latest(self) -> "dict[str, Any] | None":
         """The newest committed record (``{"txn_id", "tables", "meta"}``)
         or None if no transaction has ever committed."""
-        cur = self._resolve_current()
-        if cur is None:
-            return None
-        return json.loads(self.fs.read_text(self._rec_path(cur)))
+        for _ in range(4):
+            cur = self._resolve_current()
+            if cur is None:
+                return None
+            try:
+                return json.loads(self.fs.read_text(self._rec_path(cur)))
+            except (FileNotFoundError, OSError):
+                # a concurrent commit's retention sweep reclaimed the
+                # record between resolve and read — newer records exist
+                # by construction; re-resolve and read the newer one
+                continue
+        raise RuntimeError(
+            "txn log churned through its whole retention window during a "
+            "single read — raise retain_records for this writer rate"
+        )
 
     def load_tables(self, spark) -> "dict[str, Any]":
         """Load every table of the latest transaction PINNED at its

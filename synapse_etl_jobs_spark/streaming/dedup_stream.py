@@ -199,15 +199,15 @@ def dedup_stream_into_table(
     confirm step's point read of MATCHED ids — an empty match set reads
     nothing at all.
 
-    ``metrics_path`` (opt-in): append one JSON line per applied batch —
-    batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
     ``txn_path`` (opt-in): path of a cross-table ``TxnLog`` — after both
     per-batch commits land, the (docs version, index version) pair is
     published as one atomic record; readers loading the pair through
     ``TxnLog.load_tables`` can never observe the index-committed/
     docs-pending crash window (see ``lake/txn.py``).
 
-    ``metrics_path`` histograms: ``bucket_histogram`` over the (band, bucket) group sizes
+    ``metrics_path`` (opt-in): append one JSON line per applied batch —
+    batch id, rows in/kept, and TWO bounded (≤64-row) power-of-two
+    histograms: ``bucket_histogram`` over the (band, bucket) group sizes
     of the banding that ENTERED the probe/self joins (post-collapse,
     pre-cap — the ``max_bucket_size`` tuning signal, taken where the
     O(k²) hazard lives), and ``exact_class_histogram`` over the raw

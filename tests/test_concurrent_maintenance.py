@@ -237,7 +237,11 @@ def test_two_process_merge_lands_mid_compaction(spark, tmp_path):
         return out
 
     t1._salted_bucket_write = hooked
-    res = t1.compact()
+    # tombstones KEPT: the rebase is unconditional for content-complete
+    # rewrites (the sustained-ingest/auto-compaction shape); a
+    # tombstone-DROPPING rewrite refuses to rebase past victim-bucket
+    # rivals — pinned by test_tombstone_dropping_compact_refuses_rebase
+    res = t1.compact(drop_tombstones=False)
     proc.join(timeout=180)
     assert proc.exitcode == 0
     assert res["applied"] and res["rebased_commits"] >= 1
@@ -265,3 +269,47 @@ def test_two_process_merge_lands_mid_compaction(spark, tmp_path):
 
     final.vacuum()
     _no_unreferenced_files(LakeTable.load(spark, path))
+
+
+def test_tombstone_dropping_compact_refuses_rebase(spark, tmp_path):
+    """drop_tombstones=True + a rival delta in a victim bucket must NOT
+    rebase: my rewrite erased a tombstone the rival's (possibly stale)
+    delta needs, and the stacked result would change state under a
+    state-preserving "compact" stamp. The conflict recomputes instead —
+    and the stale event still cannot resurrect the deleted key."""
+    path = str(tmp_path / "t")
+    t1 = _mk(spark, path)
+    t1.merge(_ev(spark, [(1, "a", "UPSERT", 1), (2, "b", "UPSERT", 2)]),
+             batch_id=0)
+    t1.merge(_ev(spark, [(1, None, "DELETE", 10)]), batch_id=1)
+    t2 = LakeTable.load(spark, path)
+
+    def rival():  # redelivered STALE pre-delete event, fresh batch id
+        t2.merge(_ev(spark, [(1, "stale", "UPSERT", 5)]), batch_id=99)
+
+    _hook_merge_mid_compaction(t1, rival)
+    with pytest.raises(ConcurrentWriteError):
+        t1.compact()  # drop_tombstones=True default
+
+    res = t1.compact_with_retry()
+    assert res["applied"] and res["rebased_commits"] == 0
+    # the recompute folded the stale delta against the tombstone: the
+    # deleted key stays deleted
+    assert _state(LakeTable.load(spark, path)) == {(2, "b")}
+
+
+def test_maintenance_honors_legacy_shared_markers(spark, tmp_path):
+    """Upgrade continuity: a batch id recorded under the old shared
+    "maintenance" stream must short-circuit the namespaced ops (no
+    double-apply of a pre-upgrade batch on redelivery)."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.merge(_ev(spark, [(1, "a", "UPSERT", 1)]), batch_id=0)
+    # simulate a pre-upgrade marker: apply under the legacy stream id
+    t.delete_where("k = 1", stream_id="maintenance", batch_id="legacy-7")
+    assert _state(t) == set()
+    # redelivery after the upgrade, namespaced defaults: both ops skip
+    r1 = t.delete_where("k = 1", batch_id="legacy-7")
+    r2 = t.update_where("k = 1", {"v": "'zz'"}, batch_id="legacy-7")
+    assert not r1["applied"] and not r2["applied"]
+    assert r1["reason"] == r2["reason"] == "batch_already_applied"
